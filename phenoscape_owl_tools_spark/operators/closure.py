@@ -1,0 +1,174 @@
+"""Join-based EL subclass-closure materialization (replaces ELK).
+
+The reference classifies with the ELK reasoner and then materializes the
+inferred hierarchy (MaterializeInferences.scala:44-57,
+MaterializeSubClassOfClosure.scala:33-43; SPARQL flavor
+src/main/sparql/subclass_closure_construct.rq). We materialize the same
+closure with an iterative **semi-naive** fixpoint over DataFrames:
+
+    closure_0 = E            (asserted edges, equivalences seeded both ways)
+    delta_0   = E
+    delta_i+1 = project(delta_i join E) minus closure_i     -- new facts only
+    closure_i+1 = closure_i union delta_i+1
+
+EL rules beyond transitivity run *inside the same fixpoint* (SURVEY.md §7.2):
+restriction monotonicity (X subClassOf Y implies (P some X) subClassOf
+(P some Y) for named restriction classes) fires on each delta, so GCI-derived
+edges participate in subsequent transitive steps exactly as ELK's saturation
+would.
+
+Scale notes: iterations ~ graph diameter (20-40 for OBO); each iteration is
+one shuffle on the join key. ``localCheckpoint`` truncates lineage per
+iteration (mandatory: plan depth would otherwise grow linearly and overwhelm
+the driver). Hub-class skew on the ``sup`` side (ANATOMICAL_ENTITY etc.) is
+handled by AQE skew-join plus the explicit salting helper in
+``operators/salting.py`` for the post-closure probe joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edges(df: DataFrame, sub: str = "sub", sup: str = "sup") -> DataFrame:
+    return df.select(F.col(sub).alias("sub"), F.col(sup).alias("sup")).where(
+        F.col("sub").isNotNull() & F.col("sup").isNotNull() & (F.col("sub") != F.col("sup"))
+    )
+
+
+def equiv_to_subclass(equiv: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """EquivalentClasses(a, b) == mutual SubClassOf (C4)."""
+    fwd = equiv.select(F.col(a).alias("sub"), F.col(b).alias("sup"))
+    rev = equiv.select(F.col(b).alias("sub"), F.col(a).alias("sup"))
+    return fwd.unionByName(rev)
+
+
+def transitive_closure(
+    edges: DataFrame,
+    restrictions: DataFrame | None = None,
+    reflexive: bool = False,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Transitive (optionally reflexive) closure of ``edges(sub, sup)``.
+
+    ``restrictions(iri, prop, filler)`` — named classes standing for
+    ``prop some filler`` (P2 generator output). When given, the EL
+    monotonicity rule runs inside the fixpoint: for every new fact
+    (X subClassOf Y) and named restrictions R1=(P some X), R2=(P some Y),
+    emit (R1 subClassOf R2). Mirrors what ELK derives from
+    NamedRestrictionGenerator axioms (NamedRestrictionGenerator.scala:33-43).
+    """
+    edges = _edges(edges).dropDuplicates().localCheckpoint(eager=True)
+
+    if restrictions is not None:
+        r1 = restrictions.select(
+            F.col("prop").alias("r_prop"), F.col("filler").alias("r_filler"), F.col("iri").alias("r_iri")
+        ).localCheckpoint(eager=True)
+
+    def monotonicity(delta: DataFrame) -> DataFrame:
+        if restrictions is None:
+            return None
+        lhs = delta.join(r1, delta["sub"] == r1["r_filler"]).select(
+            F.col("r_iri").alias("m_sub"), F.col("r_prop").alias("m_prop"), F.col("sup").alias("m_sup_filler")
+        )
+        r2 = r1.select(
+            F.col("r_prop").alias("m_prop2"), F.col("r_filler").alias("m_filler2"), F.col("r_iri").alias("m_iri2")
+        )
+        return lhs.join(
+            r2,
+            (lhs["m_prop"] == r2["m_prop2"]) & (lhs["m_sup_filler"] == r2["m_filler2"]),
+        ).select(F.col("m_sub").alias("sub"), F.col("m_iri2").alias("sup"))
+
+    # The closure accumulates as a union of already-checkpointed deltas: each
+    # branch is a materialized LogicalRDD, so plan depth stays bounded by the
+    # iteration count (~graph diameter) without re-checkpointing the union.
+    # (Re-checkpointing a union of checkpointed frames also trips a Spark
+    # 4.1 AttributeMap bug — see tests/test_closure.py.)
+    closure = edges
+    delta = edges
+    first_mono = monotonicity(edges)
+    if first_mono is not None:
+        delta = delta.unionByName(first_mono).dropDuplicates().localCheckpoint(eager=True)
+        closure = delta
+
+    for _ in range(max_iterations):
+        step = (
+            delta.alias("d")
+            .join(edges.alias("e"), F.col("d.sup") == F.col("e.sub"))
+            .select(F.col("d.sub").alias("sub"), F.col("e.sup").alias("sup"))
+        )
+        mono = monotonicity(delta)
+        if mono is not None:
+            step = step.unionByName(mono)
+        new = (
+            step.where(F.col("sub") != F.col("sup"))
+            .dropDuplicates()
+            .join(closure, on=["sub", "sup"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new)
+        delta = new
+
+    if reflexive:
+        nodes = (
+            closure.select(F.col("sub").alias("n"))
+            .unionByName(closure.select(F.col("sup").alias("n")))
+            .dropDuplicates()
+        )
+        closure = closure.unionByName(
+            nodes.select(F.col("n").alias("sub"), F.col("n").alias("sup"))
+        )
+    return closure
+
+
+def el_closure(
+    subclass_edges: DataFrame,
+    equiv_edges: DataFrame | None = None,
+    gci_edges: DataFrame | None = None,
+    restrictions: DataFrame | None = None,
+    reflexive: bool = False,
+) -> DataFrame:
+    """Full EL-fragment closure used by the KB build (C1-C4).
+
+    Seeds = asserted SubClassOf + equivalences (both directions) + GCI rule
+    edges from the P5 generators; monotonicity interleaved per iteration.
+    """
+    seed = _edges(subclass_edges)
+    if equiv_edges is not None:
+        seed = seed.unionByName(equiv_to_subclass(equiv_edges))
+    if gci_edges is not None:
+        seed = seed.unionByName(_edges(gci_edges))
+    return transitive_closure(seed, restrictions=restrictions, reflexive=reflexive)
+
+
+def direct_hierarchy(closure: DataFrame) -> DataFrame:
+    """Nonredundant (direct) parent edges: closure minus closure-compose-closure.
+
+    Mirrors OWLsim.scala:175-198 extracting direct super/subclass relations
+    from the reasoner taxonomy (C6).
+    """
+    c = _edges(closure)
+    two_hop = (
+        c.alias("x")
+        .join(c.alias("y"), F.col("x.sup") == F.col("y.sub"))
+        .select(F.col("x.sub").alias("sub"), F.col("y.sup").alias("sup"))
+        .dropDuplicates()
+    )
+    return c.join(two_hop, on=["sub", "sup"], how="left_anti")
+
+
+def instance_closure(types: DataFrame, closure: DataFrame) -> DataFrame:
+    """rdf:type / rdfs:subClassOf* (C3): one join once closure exists.
+
+    ``types(individual, cls)`` joined through reflexive-transitive closure.
+    Mirrors src/main/sparql/profile_instance_closure_construct.rq:10-13.
+    """
+    direct = types.select("individual", "cls")
+    inferred = (
+        types.join(closure, types["cls"] == closure["sub"])
+        .select("individual", F.col("sup").alias("cls"))
+    )
+    return direct.unionByName(inferred).dropDuplicates()

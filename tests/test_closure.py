@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import random
+
+from phenoscape_owl_tools_spark.operators import closure
+from phenoscape_owl_tools_spark.oracle import pyoracle
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame([(a, b) for a, b in edges], ["sub", "sup"])
+
+
+def test_transitive_closure_random_dag(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = set()
+    for i in range(1, 60):
+        for _ in range(rng.randrange(1, 3)):
+            edges.add((nodes[i], nodes[rng.randrange(i)]))
+    got = {
+        (r["sub"], r["sup"])
+        for r in closure.transitive_closure(_edges_df(spark, edges)).collect()
+    }
+    assert got == pyoracle.transitive_closure(edges)
+
+
+def test_transitive_closure_reflexive_chain(spark):
+    edges = {("a", "b"), ("b", "c"), ("c", "d")}
+    got = {
+        (r["sub"], r["sup"])
+        for r in closure.transitive_closure(_edges_df(spark, edges), reflexive=True).collect()
+    }
+    assert got == pyoracle.transitive_closure(edges, reflexive=True)
+
+
+def test_el_closure_with_equiv(spark):
+    sub = _edges_df(spark, {("b", "a"), ("c", "b")})
+    eq = spark.createDataFrame([("b", "d")], ["a", "b"])
+    got = {
+        (r["sub"], r["sup"])
+        for r in closure.el_closure(sub, equiv_edges=eq).collect()
+    }
+    # d == b => d subclass a, c subclass d, etc.
+    assert ("d", "a") in got
+    assert ("c", "d") in got
+    assert ("c", "a") in got
+    assert ("b", "d") in got and ("d", "b") in got
+
+
+def test_restriction_monotonicity_inside_fixpoint(spark):
+    """X<Y must propagate to (P some X) < (P some Y), and those new edges
+    must feed further transitive steps (ELK-saturation parity)."""
+    sub = _edges_df(spark, {("x", "y"), ("y", "z")})
+    restr = spark.createDataFrame(
+        [("rx", "P", "x"), ("ry", "P", "y"), ("rz", "P", "z"), ("top", "Q", "z")],
+        ["iri", "prop", "filler"],
+    )
+    got = {
+        (r["sub"], r["sup"])
+        for r in closure.transitive_closure(_edges_df(spark, {("x", "y"), ("y", "z")}), restrictions=restr).collect()
+    }
+    assert ("rx", "ry") in got
+    assert ("ry", "rz") in got
+    assert ("rx", "rz") in got  # via transitivity over derived edges
+    assert ("x", "z") in got
+    assert not any(s == "top" or p == "top" for s, p in got)
+
+
+def test_direct_hierarchy(spark):
+    edges = {("c", "b"), ("b", "a"), ("c", "a")}  # c->a is redundant
+    c = closure.transitive_closure(_edges_df(spark, edges))
+    direct = {(r["sub"], r["sup"]) for r in closure.direct_hierarchy(c).collect()}
+    assert direct == {("c", "b"), ("b", "a")}
+
+
+def test_instance_closure(spark):
+    types = spark.createDataFrame([("i1", "c")], ["individual", "cls"])
+    cl = closure.transitive_closure(_edges_df(spark, {("c", "b"), ("b", "a")}))
+    got = {(r["individual"], r["cls"]) for r in closure.instance_closure(types, cl).collect()}
+    assert got == {("i1", "c"), ("i1", "b"), ("i1", "a")}
