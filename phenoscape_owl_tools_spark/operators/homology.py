@@ -1,0 +1,115 @@
+"""Homology-table conversion, REA model (SURVEY.md S3/J13).
+
+Relational re-expression of HomologyTableWithTaxa.processEntry
+(HomologyTableWithTaxa.scala:48-99):
+
+- relation spelling -> (property, negated): 'hom to' / 'not hom to' ->
+  in-historical-homology; 'ser hom to' / 'not ser hom to' -> serial homology;
+- row identity = sha1(line) (reference :50); we hash the canonical
+  tab-concatenation of the row's fields — content-derived, stable;
+- non-negated rows emit BOTH directions (J13, :76-77) — reciprocal pairing
+  is a union of two projections, no join;
+- rows with evidence additionally emit an OBAN association subgraph
+  (:71-93): association / evidence individuals, typing, subject/object/
+  predicate facts.
+
+Triple encoding of the class-expression subclass axiom: the anonymous
+expressions (S and in_taxon some T) get deterministic expression IRIs and a
+``homologous_to``-family edge between them; downstream consumers treat the
+edge like any subclass/property edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from phenoscape_owl_tools_spark import vocab
+from phenoscape_owl_tools_spark.functions import iri as iri_fn
+
+IN_HISTORICAL_HOMOLOGY = "http://purl.obolibrary.org/obo/RO_HOM0000007"
+SERIALLY_HOMOLOGOUS_TO = "http://purl.obolibrary.org/obo/RO_HOM0000027"
+ASSOCIATION = "http://purl.org/oban/association"
+HAS_SUBJECT = "http://purl.org/oban/association_has_subject"
+HAS_OBJECT = "http://purl.org/oban/association_has_object"
+HAS_PREDICATE = "http://purl.org/oban/association_has_predicate"
+IS_NEGATED = "http://purl.org/phenoscape/oban/is_negated"
+ANNOTATION_PREFIX = "http://purl.phenoscape.org/homology/annotation/"
+
+
+def _structure_in_taxon_expr(structure, taxon):
+    """Canonical expression IRI for (structure and in_taxon some taxon)."""
+    return iri_fn.expression_iri(
+        F.concat_ws(
+            " ",
+            F.lit("ObjectIntersectionOf"),
+            structure,
+            F.lit("ObjectSomeValuesFrom"),
+            F.lit(vocab.IN_TAXON),
+            taxon,
+        )
+    )
+
+
+def homology_axioms(homology: DataFrame) -> DataFrame:
+    """homology(structure1, taxon1, relation, structure2, taxon2,
+    evidence_code, publication) -> (subj, pred, obj) triples."""
+    h = homology.select(
+        F.trim("structure1").alias("s1"),
+        F.trim("taxon1").alias("t1"),
+        F.trim("relation").alias("rel"),
+        F.trim("structure2").alias("s2"),
+        F.trim("taxon2").alias("t2"),
+        F.col("evidence_code"),
+        F.col("publication"),
+    ).withColumn(
+        "prop",
+        F.when(F.col("rel").isin("hom to", "not hom to"), F.lit(IN_HISTORICAL_HOMOLOGY))
+        .otherwise(F.lit(SERIALLY_HOMOLOGOUS_TO)),
+    ).withColumn(
+        "negated", F.col("rel").startswith("not ")
+    ).withColumn(
+        # sha1Hex(line) analog (HomologyTableWithTaxa.scala:50)
+        "uid",
+        F.sha2(F.concat_ws("\t", "s1", "t1", "rel", "s2", "t2",
+                           F.coalesce("evidence_code", F.lit("")), "publication"), 256),
+    ).withColumn(
+        "ann", F.concat(F.lit(ANNOTATION_PREFIX), F.col("uid"))
+    ).withColumn(
+        "expr1", _structure_in_taxon_expr(F.col("s1"), F.col("t1"))
+    ).withColumn(
+        "expr2", _structure_in_taxon_expr(F.col("s2"), F.col("t2"))
+    )
+    def t(subj, pred, obj):
+        return [subj.alias("subj"), pred.alias("pred"), obj.alias("obj")]
+
+    pos = h.where(~F.col("negated"))
+    # reciprocal homology edges between the composed expressions (J13)
+    fwd = pos.select(*t(F.col("expr1"), F.col("prop"), F.col("expr2")))
+    rev = pos.select(*t(F.col("expr2"), F.col("prop"), F.col("expr1")))
+    # expression definition triples: expr -> structure / taxon
+    defs = (
+        h.select(*t(F.col("expr1"), F.lit(vocab.RDFS_SUBCLASS_OF), F.col("s1")))
+        .unionByName(h.select(*t(F.col("expr1"), F.lit(vocab.IN_TAXON), F.col("t1"))))
+        .unionByName(h.select(*t(F.col("expr2"), F.lit(vocab.RDFS_SUBCLASS_OF), F.col("s2"))))
+        .unionByName(h.select(*t(F.col("expr2"), F.lit(vocab.IN_TAXON), F.col("t2"))))
+    )
+    # OBAN association subgraph for evidence-bearing rows (:71-93)
+    ev = h.where(F.col("evidence_code").isNotNull())
+    ev_ind = F.concat(F.col("ann"), F.lit("#evidence"))
+    s1_ind = F.concat(F.col("ann"), F.lit("#structure1"))
+    s2_ind = F.concat(F.col("ann"), F.lit("#structure2"))
+    oban = (
+        ev.select(*t(F.col("ann"), F.lit(vocab.RDF_TYPE), F.lit(ASSOCIATION)))
+        .unionByName(ev.select(*t(F.col("ann"), F.lit(vocab.HAS_EVIDENCE), ev_ind)))
+        .unionByName(ev.select(*t(F.col("ann"), F.lit(IS_NEGATED), F.col("negated").cast("string"))))
+        .unionByName(ev.select(*t(s1_ind, F.lit(vocab.RDF_TYPE), F.col("expr1"))))
+        .unionByName(ev.select(*t(s2_ind, F.lit(vocab.RDF_TYPE), F.col("expr2"))))
+        .unionByName(ev.select(*t(F.col("ann"), F.lit(HAS_SUBJECT), s1_ind)))
+        .unionByName(ev.select(*t(F.col("ann"), F.lit(HAS_OBJECT), s2_ind)))
+        .unionByName(ev.select(*t(F.col("ann"), F.lit(HAS_PREDICATE), F.col("prop"))))
+        .unionByName(ev.select(*t(ev_ind, F.lit(vocab.RDF_TYPE),
+                                  iri_fn.obo_iri_for_term_id(F.col("evidence_code")))))
+        .unionByName(ev.select(*t(ev_ind, F.lit("http://purl.org/dc/terms/source"), F.col("publication"))))
+    )
+    return fwd.unionByName(rev).unionByName(defs).unionByName(oban).dropDuplicates()

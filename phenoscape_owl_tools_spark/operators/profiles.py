@@ -1,0 +1,255 @@
+"""Taxon / gene phenotypic profiles (SURVEY.md A1-A2, J6-J7).
+
+Evolutionary profiles — the reference's recursive Fitch-parsimony-style
+postorder (EvolutionaryProfiles.scala:107-165) — become a **level-wise
+bottom-up aggregation**: taxonomy depth is materialized once, then each tree
+level (deepest first) is one ``groupBy(parent, character)`` whose set logic
+runs in Spark array functions (``aggregate``/``array_intersect``/
+``array_union``) — no UDF, no recursion, O(depth) small shuffles.
+
+Reference semantics preserved exactly, including the subtle set-of-sets
+collapse: duplicate child state-sets count once before the size checks
+(``allStateSets = childrenStateSets + nodeStateSet`` builds a Set[Set[_]],
+:139-155), and children lacking a character contribute an empty set.
+
+Gene profiles (GeneProfiles.scala:15-39) are a distinct-projection over the
+annotation triples (J6 is a triple-table self-join in the reference's
+SPARQL; on relational input it reduces to select+distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from phenoscape_owl_tools_spark import vocab
+
+
+def taxonomy_depths(taxonomy_edges: DataFrame) -> DataFrame:
+    """(node, depth) for every node of the taxonomy tree; root depth 0.
+
+    Iterative level propagation — O(depth) tiny joins over the (small)
+    taxonomy dimension; the tree is broadcast-scale next to the fact data.
+    """
+    edges = taxonomy_edges.select("child", "parent").dropDuplicates().localCheckpoint(eager=True)
+    children = edges.select(F.col("child").alias("n"))
+    parents = edges.select(F.col("parent").alias("n"))
+    roots = parents.subtract(children).withColumn("depth", F.lit(0))
+    levels = [roots.localCheckpoint(eager=True)]
+    while True:
+        prev = levels[-1]
+        nxt = (
+            edges.join(prev, edges["parent"] == prev["n"])
+            .select(F.col("child").alias("n"), (F.col("depth") + 1).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def _set_col(states_col):
+    """Canonical set representation: sorted distinct array."""
+    return F.sort_array(F.array_distinct(states_col))
+
+
+def evolutionary_profiles(
+    taxonomy_edges: DataFrame,
+    state_associations: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (associations, profiles): (taxon, character, states array<string>).
+
+    ``associations`` mirrors postorder's first tuple member (reconstructed
+    state sets at every internal node); ``profiles`` the second (union events
+    recorded when child state-sets fail to intersect, :146-155).
+    """
+    spark = taxonomy_edges.sparkSession
+    depths = taxonomy_depths(taxonomy_edges).localCheckpoint(eager=True)
+    max_depth = depths.agg(F.max("depth")).collect()[0][0]
+    edges = taxonomy_edges.select("child", "parent").dropDuplicates().localCheckpoint(eager=True)
+
+    asserted = (
+        state_associations.groupBy(F.col("taxon").alias("node"), F.col("character"))
+        .agg(_set_col(F.collect_set("state")).alias("states"))
+        .localCheckpoint(eager=True)
+    )
+
+    schema = "node string, character string, states array<string>"
+    computed = spark.createDataFrame([], schema)  # filled bottom-up
+    profile_parts: list[DataFrame] = []
+    # children counts per parent (for the empty-set contribution check)
+    n_children = edges.groupBy(F.col("parent")).agg(F.countDistinct("child").alias("n_children"))
+
+    for d in range(max_depth, -1, -1):
+        nodes_d = depths.where(F.col("depth") == d).select(F.col("n").alias("node"))
+        if d == max_depth:
+            # deepest level: all leaves -> associations are the asserted sets
+            level = asserted.join(nodes_d, on="node", how="inner")
+            computed = level.localCheckpoint(eager=True)
+            continue
+        # children of level-d nodes already computed (they live at depth d+1)
+        child_assoc = (
+            edges.join(nodes_d, edges["parent"] == nodes_d["node"])
+            .select("child", "parent")
+            .join(computed, F.col("child") == computed["node"], "left")
+            .select(
+                F.col("parent"),
+                F.col("child"),
+                F.col("character"),
+                F.col("states"),
+            )
+        )
+        # per (parent, character): distinct child sets + empty-set marker
+        per_char = (
+            child_assoc.where(F.col("character").isNotNull())
+            .groupBy("parent", "character")
+            .agg(
+                F.array_distinct(F.collect_set("states")).alias("child_sets"),
+                F.countDistinct("child").alias("n_with"),
+            )
+            .join(n_children, on="parent", how="left")
+            .withColumn("has_empty_child", F.col("n_with") < F.col("n_children"))
+        )
+        own = asserted.join(nodes_d, on="node", how="inner").select(
+            F.col("node").alias("o_parent"),
+            F.col("character").alias("o_character"),
+            F.col("states").alias("own_states"),
+        )
+        merged = per_char.join(
+            own,
+            (per_char["parent"] == own["o_parent"])
+            & (per_char["character"] == own["o_character"]),
+            how="full",
+        ).select(
+            F.coalesce(F.col("parent"), F.col("o_parent")).alias("parent"),
+            F.coalesce(F.col("character"), F.col("o_character")).alias("character"),
+            F.coalesce("child_sets", F.array().cast("array<array<string>>")).alias("child_sets"),
+            F.coalesce("own_states", F.array().cast("array<string>")).alias("own_states"),
+            F.coalesce("has_empty_child", F.lit(False)).alias("has_empty_child"),
+            F.col("n_with").isNotNull().alias("has_child_data"),
+        )
+        # Own-only rows (no child carries the character): every child still
+        # contributes an empty set (reference: childrenStateSets has one
+        # entry per child, EvolutionaryProfiles.scala:139), so a node WITH
+        # children gets the empty-set marker.
+        merged = merged.join(
+            n_children.select(F.col("parent").alias("nc_parent"), F.col("n_children").alias("nc")),
+            merged["parent"] == F.col("nc_parent"),
+            how="left",
+        ).withColumn(
+            "has_empty_child",
+            F.when(~F.col("has_child_data") & (F.coalesce(F.col("nc"), F.lit(0)) > 0), F.lit(True))
+            .otherwise(F.col("has_empty_child")),
+        ).drop("nc_parent")
+        all_sets = F.array_distinct(
+            F.concat(
+                F.col("child_sets"),
+                F.array(_set_col(F.col("own_states"))),
+                F.when(F.col("has_empty_child"), F.array(F.array().cast("array<string>")))
+                .otherwise(F.array().cast("array<array<string>>")),
+            )
+        )
+        stepped = merged.withColumn("all_sets", all_sets).withColumn(
+            "non_empty", F.filter(F.col("all_sets"), lambda s: F.size(s) > 0)
+        ).withColumn(
+            "shared",
+            F.when(
+                F.size("non_empty") > 0,
+                F.aggregate(
+                    F.slice(F.col("non_empty"), 2, 100000),
+                    F.col("non_empty")[0],
+                    lambda acc, s: F.array_intersect(acc, s),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).withColumn(
+            "union_all",
+            F.aggregate(
+                F.col("all_sets"),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.array_union(acc, s),
+            ),
+        ).withColumn(
+            "current",
+            F.when(F.size("shared") > 0, F.col("shared"))
+            .when(F.size("all_sets") == 1, F.col("all_sets")[0])
+            .otherwise(F.col("union_all")),
+        ).withColumn(
+            "profile_states",
+            F.when(
+                (F.size("shared") == 0) & (F.size("all_sets") >= 2) & (F.size("union_all") > 0),
+                F.col("union_all"),
+            ),
+        )
+        level = stepped.where(F.size("current") > 0).select(
+            F.col("parent").alias("node"),
+            "character",
+            F.sort_array(F.col("current")).alias("states"),
+        )
+        prof = stepped.where(
+            F.col("profile_states").isNotNull() & (F.size("profile_states") > 0)
+        ).select(
+            F.col("parent").alias("node"),
+            "character",
+            F.sort_array(F.col("profile_states")).alias("states"),
+        )
+        profile_parts.append(prof.localCheckpoint(eager=True))
+        computed = computed.unionByName(level.localCheckpoint(eager=True))
+
+    profiles = profile_parts[0] if profile_parts else spark.createDataFrame([], schema)
+    for p in profile_parts[1:]:
+        profiles = profiles.unionByName(p)
+    return computed, profiles
+
+
+def profile_triples(profiles: DataFrame, state_phenotypes: DataFrame) -> DataFrame:
+    """Profile triples (EvolutionaryProfiles.scala:77-102):
+    (taxon has_phenotypic_profile taxon#profile) and
+    (taxon#profile rdf:type phenotype) for each phenotype of each profile
+    state (states map to phenotypes via describes_phenotype)."""
+    exploded = profiles.select(
+        F.col("node"), F.explode("states").alias("state")
+    ).join(state_phenotypes, on="state").select("node", "phenotype").dropDuplicates()
+    profile_iri = F.concat(F.col("node"), F.lit("#profile"))  # taxonProfileURI (:102)
+    typing = exploded.select(
+        profile_iri.alias("subj"),
+        F.lit(vocab.RDF_TYPE).alias("pred"),
+        F.col("phenotype").alias("obj"),
+    )
+    link = exploded.select("node").dropDuplicates().select(
+        F.col("node").alias("subj"),
+        F.lit(vocab.HAS_PHENOTYPIC_PROFILE).alias("pred"),
+        F.concat(F.col("node"), F.lit("#profile")).alias("obj"),
+    )
+    return typing.unionByName(link).dropDuplicates()
+
+
+def gene_profiles(gene_annotations: DataFrame) -> DataFrame:
+    """GeneProfiles.scala:15-39 (J6/A2): per gene, profile individual
+    gene#profile typed with every phenotype class of its annotations."""
+    base = gene_annotations.select("gene", "phenotype_class").dropDuplicates()
+    profile_iri = F.concat(F.col("gene"), F.lit("#profile"))
+    typing = base.select(
+        profile_iri.alias("subj"),
+        F.lit(vocab.RDF_TYPE).alias("pred"),
+        F.col("phenotype_class").alias("obj"),
+    )
+    link = base.select("gene").dropDuplicates().select(
+        F.col("gene").alias("subj"),
+        F.lit(vocab.HAS_PHENOTYPIC_PROFILE).alias("pred"),
+        F.concat(F.col("gene"), F.lit("#profile")).alias("obj"),
+    )
+    return typing.unionByName(link).dropDuplicates()
+
+
+def profile_sizes(profile_triples_df: DataFrame) -> DataFrame:
+    """A6 — PrintTaxonAndGeneProfileSizes.scala:25-28: per profile, count of
+    direct annotations."""
+    return (
+        profile_triples_df.where(F.col("pred") == vocab.RDF_TYPE)
+        .groupBy(F.col("subj").alias("profile"))
+        .agg(F.count("*").alias("n_annotations"))
+    )

@@ -1,0 +1,136 @@
+from __future__ import annotations
+
+import math
+import random
+
+from phenoscape_owl_tools_spark.operators import closure, similarity
+from phenoscape_owl_tools_spark.oracle import pyoracle
+
+
+def _case(spark, seed=5, n_classes=15, n_ind=8):
+    rng = random.Random(seed)
+    classes = [f"c{i}" for i in range(n_classes)]
+    edges = set()
+    for i in range(1, n_classes):
+        edges.add((classes[i], classes[rng.randrange(i)]))
+    profs = []
+    for i in range(n_ind):
+        kind = "VTO" if i < n_ind // 2 else "GENE"
+        ind = f"{kind}_{i}"
+        for _ in range(rng.randrange(1, 4)):
+            profs.append((ind, classes[rng.randrange(1, n_classes)]))
+    edges_df = spark.createDataFrame(list(edges), ["sub", "sup"])
+    prof_df = spark.createDataFrame(profs, ["individual", "phenotype"])
+    cl = closure.transitive_closure(edges_df).localCheckpoint(eager=True)
+    return edges, profs, edges_df, prof_df, cl
+
+
+def _py_ancestors(edges):
+    tc = pyoracle.transitive_closure(edges)
+    anc = {}
+    for a, b in tc:
+        anc.setdefault(a, set()).add(b)
+    return anc
+
+
+def test_information_content_vs_oracle(spark):
+    edges, profs, edges_df, prof_df, cl = _case(spark)
+    corpus = prof_df.where(prof_df["individual"].startswith("VTO")).select("individual").distinct()
+    ind = similarity.indirect_associations(prof_df, cl)
+    ic = similarity.information_content(ind, corpus, cl)
+
+    # python oracle
+    anc = _py_ancestors(edges)
+    by_ind: dict[str, set[str]] = {}
+    for i, p in profs:
+        by_ind.setdefault(i, set()).update({p} | anc.get(p, set()))
+    corpus_inds = {i for i in by_ind if i.startswith("VTO")}
+    n = len(corpus_inds)
+    freq: dict[str, int] = {}
+    for i in corpus_inds:
+        for node in by_ind[i]:
+            freq[node] = freq.get(node, 0) + 1
+
+    got = {r["node"]: (r["freq"], r["ic"]) for r in ic.collect()}
+    for node, (gf, gic) in got.items():
+        ef = freq.get(node, 0)
+        assert gf == ef, node
+        if ef > 0:
+            assert abs(gic - pyoracle.normalized_ic(ef, n)) < 1e-12, node
+
+
+def test_pairwise_median_vs_oracle(spark):
+    edges, profs, edges_df, prof_df, cl = _case(spark, seed=9)
+    corpus_df = prof_df.where(prof_df["individual"].startswith("VTO"))
+    query_df = prof_df.where(prof_df["individual"].startswith("GENE"))
+    corpus_inds = corpus_df.select("individual").distinct()
+
+    ind = similarity.indirect_associations(prof_df, cl)
+    ic_df = similarity.information_content(ind, corpus_inds, cl)
+    pas = similarity.pairwise_scores(query_df, corpus_df, cl, ic_df)
+    med = similarity.groupwise_median(pas)
+
+    # python oracle
+    anc = _py_ancestors(edges)
+    refl = lambda p: {p} | anc.get(p, set())
+    direct: dict[str, set[str]] = {}
+    for i, p in profs:
+        direct.setdefault(i, set()).add(p)
+    by_ind = {i: set().union(*[refl(p) for p in ps]) for i, ps in direct.items()}
+    corpus = {i for i in by_ind if i.startswith("VTO")}
+    n = len(corpus)
+    freq: dict[str, int] = {}
+    for i in corpus:
+        for node in by_ind[i]:
+            freq[node] = freq.get(node, 0) + 1
+    all_nodes = set().union(*[refl(p) for ps in direct.values() for p in ps])
+
+    def ic_of(node):
+        f = freq.get(node, 0)
+        if f > 0:
+            return pyoracle.normalized_ic(f, n)
+        pos = [freq[a] for a in anc.get(node, set()) if freq.get(a, 0) > 0]
+        return pyoracle.normalized_ic(min(pos), n) if pos else 1.0
+
+    expected = {}
+    for q in sorted(direct):
+        if not q.startswith("GENE"):
+            continue
+        for c in sorted(corpus):
+            scores = []
+            for qa in direct[q]:
+                best = -1.0
+                for ca in direct[c]:
+                    common = refl(qa) & refl(ca)
+                    if common:
+                        best = max(best, max(ic_of(x) for x in common))
+                if best >= 0:
+                    scores.append(best)
+            if scores:
+                expected[(q, c)] = pyoracle.median(scores)
+
+    got = {(r["query"], r["corpus"]): r["score"] for r in med.collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-12, k
+
+
+def test_jaccard_bounds_and_symmetry(spark):
+    edges, profs, edges_df, prof_df, cl = _case(spark, seed=13)
+    q = prof_df.where(prof_df["individual"].startswith("GENE"))
+    c = prof_df.where(prof_df["individual"].startswith("VTO"))
+    jac = similarity.jaccard_similarity(q, c, cl).collect()
+    assert jac, "no pairs produced"
+    for r in jac:
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_top_subsumers_k(spark):
+    edges, profs, edges_df, prof_df, cl = _case(spark, seed=21)
+    corpus_inds = prof_df.select("individual").distinct()
+    ind = similarity.indirect_associations(prof_df, cl)
+    ic_df = similarity.information_content(ind, corpus_inds, cl)
+    pas = similarity.pairwise_scores(prof_df, prof_df, cl, ic_df)
+    top = similarity.top_subsumers(pas, k=2)
+    counts = top.groupBy("query", "corpus").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
