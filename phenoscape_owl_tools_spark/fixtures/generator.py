@@ -152,6 +152,11 @@ def generate_corpus(seed: int = 42, n_docs: int = 200) -> FixtureCorpus:
     add_terms(anat, "anatomy", 0)
     add_terms(qual, "quality", 20000)
     add_terms(taxa, "taxon", 40000)
+    # PATO 'absent' participates as a quality (drives the absence path J5)
+    terms_rows["iri"].append(vocab.ABSENT)
+    terms_rows["label"].append(_word(rng, 77777))
+    terms_rows["namespace"].append("quality")
+    label_of[vocab.ABSENT] = terms_rows["label"][-1]
     for root_iri, root_label, ns in [
         (vocab.ANATOMICAL_ENTITY, "anatomical entity", "anatomy"),
         (vocab.QUALITY, "quality", "quality"),
@@ -257,7 +262,7 @@ def generate_corpus(seed: int = 42, n_docs: int = 200) -> FixtureCorpus:
             for ci in range(n_cells):
                 ch = rng.choice(characters)
                 a = hub if rng.random() < 0.10 else rng.choice(anat)
-                q = rng.choice(qual)
+                q = vocab.ABSENT if rng.random() < 0.15 else rng.choice(qual)
                 state = f"http://example.org/state/{len(states)}"
                 states.append(state)
                 state_phen["state"].append(state)

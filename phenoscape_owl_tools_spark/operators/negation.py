@@ -51,13 +51,13 @@ def negation_subclass_axioms(negates: DataFrame, subclass_edges: DataFrame) -> D
 
     negates(n, c) x subclass(sub, sup=c) x negates(m, sub) -> (n, m).
     """
-    neg1 = negates.select(F.col("n").alias("negater"), F.col("c").alias("negated"))
-    sub = subclass_edges.select(F.col("sub"), F.col("sup"))
-    neg2 = negates.select(F.col("n").alias("m"), F.col("c").alias("c2"))
+    neg1 = negates.select(F.col("n").alias("negater"), F.col("c").alias("negated")).alias("n1")
+    sub = subclass_edges.select(F.col("sub").alias("e_sub"), F.col("sup").alias("e_sup")).alias("s")
+    neg2 = negates.select(F.col("n").alias("m"), F.col("c").alias("c2")).alias("n2")
     return (
-        neg1.join(sub, neg1["negated"] == sub["sup"])
-        .join(neg2, sub["sub"] == neg2["c2"])
-        .select(F.col("negater").alias("sub"), F.col("m").alias("sup"))
+        neg1.join(sub, F.col("n1.negated") == F.col("s.e_sup"))
+        .join(neg2, F.col("s.e_sub") == F.col("n2.c2"))
+        .select(F.col("n1.negater").alias("sub"), F.col("n2.m").alias("sup"))
         .where(F.col("sub") != F.col("sup"))
         .dropDuplicates()
     )
