@@ -625,6 +625,353 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline: dedup / ANN / text stats / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+WITH fp AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, sha256(lower(text)) AS fp FROM documents
+)
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+       (count(*) OVER (PARTITION BY fp)) > 1 AS is_dup_group
+FROM fp
+"""
+
+
+SQL_SHINGLES_CTE = """
+d AS (SELECT cast(doc_id AS varchar) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 2))) AS i FROM d),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM idx WHERE array_to_string(ws[i:i+2], ' ') <> ''),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+SQL_JACCARD_VERIFY = """
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(cast(count(*) AS double) / (any_value(sa.n) + any_value(sb.n) - count(*)), 6) AS jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  JOIN sz sa ON sa.doc_id = c.doc_a
+  JOIN sz sb ON sb.doc_id = c.doc_b
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLES_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{SQL_JACCARD_VERIFY}
+"""
+
+
+_MINHASH_K = 8
+
+
+def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    return dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir), n=3, k=_MINHASH_K, rows_per_band=2, threshold=0.2
+    )
+
+
+_mh_aggs = ",\n  ".join(
+    f"min(sha256('{i}:' || shingle)) AS mh{i}" for i in range(_MINHASH_K)
+)
+_band_selects = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, sha256(mh{2*b} || mh{2*b+1}) AS bkey FROM sig"
+    for b in range(_MINHASH_K // 2)
+)
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {SQL_SHINGLES_CTE},
+sig AS (SELECT doc_id,
+  {_mh_aggs}
+  FROM sh GROUP BY 1),
+bands AS (
+  {_band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+{SQL_JACCARD_VERIFY}
+"""
+
+
+_SIMHASH_BITS = 8
+
+
+def q_dedup_simhash(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
+_sim_bit_aggs = ",\n  ".join(
+    f"sum(CASE WHEN substr(hx, {p + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS b{p}"
+    for p in range(_SIMHASH_BITS)
+)
+_sim_cat = " || ".join(
+    f"(CASE WHEN b{p} * 2 > n THEN '1' ELSE '0' END)" for p in range(_SIMHASH_BITS)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH w AS (
+  SELECT DISTINCT cast(doc_id AS varchar) AS doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, sha256(tok) AS hx FROM w WHERE tok <> ''),
+bits AS (SELECT doc_id, count(*) AS n,
+  {_sim_bit_aggs}
+  FROM h GROUP BY 1)
+SELECT doc_id, {_sim_cat} AS simhash FROM bits
+"""
+
+
+SQL_COS = """round(
+  list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS double) * CAST({b}[i] AS double)))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS double) * CAST({a}[i] AS double))))
+   * sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> CAST({b}[i] AS double) * CAST({b}[i] AS double))))), 6)"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    return dedup.embedding_near_dups(KG.load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+"""
+
+
+def _ann_queries(spark, sf_dir):
+    emb = KG.load(spark, sf_dir, "embeddings")
+    return emb, emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import annsearch
+
+    emb, q = _ann_queries(spark, sf_dir)
+    r = annsearch.brute_force_topk(emb, q, k=5)
+    return r.select("query_id", "neighbor_id", "cos", F.col("rank").alias("rnk"))
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {SQL_COS.format(a="qe", b="c.embedding")} AS cos
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rn AS integer) AS rnk FROM r WHERE rn <= 5
+"""
+
+
+_LSH_DIMS = (1, 8, 16, 24)
+
+
+def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import annsearch
+
+    emb, q = _ann_queries(spark, sf_dir)
+    r = annsearch.bucket_lsh_topk(emb, q, k=5, dims=_LSH_DIMS)
+    return r.select("query_id", "neighbor_id", "cos", F.col("rank").alias("rnk"))
+
+
+_sql_bucket = " || ".join(
+    f"(CASE WHEN CAST({{e}}[{d}] AS double) >= 0 THEN '1' ELSE '0' END)" for d in _LSH_DIMS
+)
+
+SQL_ANN_LSH_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, {_sql_bucket.format(e="embedding")} AS bucket
+  FROM embeddings WHERE vec_id < 16
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, {_sql_bucket.format(e="embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {SQL_COS.format(a="qe", b="ce")} AS cos
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rn AS integer) AS rnk FROM r WHERE rn <= 5
+"""
+
+
+def q_language_id(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import textstats
+
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def _sql_lang_score(markers) -> str:
+    terms = " + ".join(
+        f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}" for m in markers
+    )
+    return f"({terms})"
+
+
+def _sql_language_id() -> str:
+    from phenoscape_owl_tools_spark.operators.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = {lang: _sql_lang_score(LANG_PROFILES[lang]) for lang in langs}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN best > 0 AND {scores[lang]} = best THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH padded AS (SELECT cast(doc_id AS varchar) AS doc_id, ' ' || text || ' ' AS p FROM documents),
+b AS (SELECT doc_id, p, {best} AS best FROM padded)
+SELECT doc_id, {pred} AS pred_lang, round(best, 2) AS score FROM b
+"""
+
+
+SQL_LANGUAGE_ID = _sql_language_id()
+
+
+def q_quality_score(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import textstats
+
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, text, string_split(text, ' ') AS toks,
+         regexp_replace(text, '[A-Za-z0-9 ]', '', 'g') AS stripped
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         cast(len(toks) AS bigint) AS n_tokens,
+         cast(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS double) / len(toks) AS stop_ratio,
+         cast(length(stripped) AS double) / length(text) AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio,
+       round(least(1.0, n_tokens / 50.0) * (1.0 - stop_ratio) * (1.0 - punct_ratio), 6) AS q
+FROM m
+"""
+
+
+def q_bpe_token_count(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import textstats
+
+    return textstats.bpe_token_count(_docs(spark, sf_dir))
+
+
+SQL_BPE_TOKEN_COUNT = """
+SELECT cast(doc_id AS varchar) AS doc_id,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bigint) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import textstats
+
+    return textstats.rolling_fingerprint(_docs(spark, sf_dir), window=5)
+
+
+SQL_ROLLING_FINGERPRINT = """
+WITH g AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, text,
+         unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+  FROM documents
+)
+SELECT doc_id, min(sha256(substr(text, i, 5))) AS fp FROM g GROUP BY 1
+"""
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import multimodal
+    from phenoscape_owl_tools_spark.sources.documents import media_spans
+
+    spans = KG.span_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_media_features(media_spans(spans))
+    return feats.select(
+        "doc_id", "media_ref",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "feature_sig",
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         'http://media.example.org/' || cast(doc_id AS varchar) || '.bin' AS media_ref
+  FROM documents WHERE source = 'src2'
+),
+h AS (SELECT doc_id, media_ref, sha256(media_ref) AS hx FROM m)
+SELECT doc_id, media_ref,
+       32 * instr('0123456789abcdef', substr(hx, 1, 1)) AS width,
+       32 * instr('0123456789abcdef', substr(hx, 2, 1)) AS height,
+       instr('0123456789abcdef', substr(hx, 3, 1)) AS n_frames,
+       substr(hx, 1, 16) AS feature_sig
+FROM h
+"""
+
+
+def q_frame_samples(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import multimodal
+    from phenoscape_owl_tools_spark.sources.documents import media_spans
+
+    spans = KG.span_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_media_features(media_spans(spans))
+    samples = multimodal.frame_sample_refs(feats, stride=2)
+    return samples.select(
+        "doc_id", "media_ref", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+SQL_FRAME_SAMPLES = """
+WITH m AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         'http://media.example.org/' || cast(doc_id AS varchar) || '.bin' AS media_ref
+  FROM documents WHERE source = 'src2'
+),
+h AS (SELECT doc_id, media_ref,
+             instr('0123456789abcdef', substr(sha256(media_ref), 3, 1)) AS n_frames
+      FROM m)
+SELECT doc_id, media_ref, unnest(range(0, n_frames, 2)) AS frame_idx FROM h
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H anchors + events
 # --------------------------------------------------------------------------
 
@@ -758,6 +1105,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "stopword_ratio": q_stopword_ratio,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "bpe_token_count": q_bpe_token_count,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
@@ -789,6 +1149,19 @@ def oracle_sql() -> dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "stopword_ratio": SQL_STOPWORD_RATIO,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "language_id": SQL_LANGUAGE_ID,
+        "quality_score": SQL_QUALITY_SCORE,
+        "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+        "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+        "media_features": SQL_MEDIA_FEATURES,
+        "frame_samples": SQL_FRAME_SAMPLES,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q6": SQL_TPCH_Q6,

@@ -61,6 +61,9 @@ PIPELINE_OPS = [
     "ann_lsh_topk",
     "language_id",
     "quality_score",
+    "bpe_token_count",
+    "rolling_fingerprint",
+    "media_features",
     "token_count",
 ]
 

@@ -1,0 +1,109 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring the reference's two-phase similarity design
+(exhaustive OWLsim cartesian scoring, sim/OWLsim.scala:94-139, vs its
+100-way sharding for scale, RunPairwiseOWLSim.scala:40-46):
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Query side broadcasts (queries are small); the scan side streams, so cost
+  is one pass over the corpus per query batch, no shuffle of the corpus.
+- ``bucket_lsh_topk``: sign-bit LSH (axis-aligned random-hyperplane family):
+  bucket key = sign bits of fixed dimensions. Corpus and queries co-shuffle
+  on the bucket key only, so each query scores only its bucket — the
+  100-TB path. Recall is tunable via bits/multi-probe; candidates can be
+  exactly re-verified downstream.
+
+All scoring is JVM-side column math (zip_with/aggregate, double
+precision) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from phenoscape_owl_tools_spark.operators.dedup import cosine_col
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries``: (query_id, embedding). Returns
+    (query_id, neighbor_id, cos, rank), rank 1..k by (cos desc, neighbor_id)
+    — the deterministic tie-break keeps results partitioning-independent.
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("qe"))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(embedding_col, dims: tuple[int, ...] = (1, 8, 16, 24)) -> F.Column:
+    """LSH bucket key: concatenated sign bits of the given (1-based) dims.
+
+    Axis-aligned member of the random-hyperplane (SRP) family; deterministic
+    so buckets are reproducible across runs and engines.
+    """
+    bits = [
+        F.when(F.element_at(embedding_col, d).cast("double") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def bucket_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: tuple[int, ...] = (1, 8, 16, 24),
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket.
+
+    Join is an equi-join on the bucket key — at scale the corpus shuffles
+    once by bucket (or is bucketed at write time) and each query touches
+    ~n/2^bits candidates. Returns (query_id, neighbor_id, cos, rank).
+    """
+    q = queries.select(
+        "query_id",
+        F.col("embedding").alias("qe"),
+        sign_bucket(F.col("embedding"), dims).alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        sign_bucket(F.col("embedding"), dims).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

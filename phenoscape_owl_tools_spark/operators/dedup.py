@@ -1,0 +1,303 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-duplicates.
+
+The reference deduplicates axiom *sets* (Scala ``Set`` semantics,
+e.g. EQCreator.scala:65 ``filterNot(containsAxiom)``); a training-data
+pipeline additionally needs *document*-level near-dedup. All operators here
+are pure DataFrame compositions (JVM-side, whole-stage-codegen) — no Python
+in the hot path. Hash functions are sha2-hex so every result is
+deterministic and reproducible by a SQL oracle.
+
+Scale notes (100 TB):
+- Exact dedup is one map-side fingerprint + one shuffle on the fingerprint;
+  fingerprints are uniform (sha2) so no skew.
+- The n-gram Jaccard self-join is quadratic in documents-per-shingle:
+  ``max_doc_freq`` drops ultra-common shingles (stopword-like n-grams carry
+  no dedup signal but dominate join cost) — the standard blocking fix.
+- MinHash+LSH is the scale path: cost is linear in documents for signatures
+  (one groupBy on (doc, shingle) input), and the candidate join touches only
+  band-bucket collisions. Giant buckets (skew) split by AQE; candidates are
+  then verified with exact Jaccard so precision is unaffected by banding.
+- SimHash is map-only per document + one groupBy on an 8-bit key.
+- Embedding near-dup here is the brute-force O(n^2) baseline used for
+  verification; the bucketed-LSH scale path lives in
+  ``operators/annsearch.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): canonical content fingerprint — sha2 of lowercased text."""
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.sha2(F.lower(F.col(text_col)), 256).alias("fp"),
+    )
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: every doc mapped to the keeper (min doc_id)
+    of its fingerprint group, with a dup flag.
+
+    One shuffle on the uniform sha2 key; scales linearly.
+    """
+    fp = exact_fingerprints(documents, text_col)
+    keep = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id",
+        "fp",
+        F.min("doc_id").over(keep).alias("keep_id"),
+        (F.count("*").over(keep) > 1).alias("is_dup_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Pure column expressions: split -> sliding windows via
+    transform(sequence(...)) -> explode. No Python.
+    """
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.explode(shingles).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def _shingle_sizes(shingles: DataFrame) -> DataFrame:
+    return shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+
+def _verified_jaccard(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs; keeps >= threshold."""
+    sizes = _shingle_sizes(shingles)
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via shingle-inverted-index join.
+
+    (doc_a, doc_b, jaccard) with doc_a < doc_b. ``max_doc_freq`` blocks
+    shingles appearing in more than that many docs from generating pairs
+    (they still count toward set sizes, so Jaccard stays exact only when
+    every surviving pair shares at least one rare shingle — the standard
+    recall/cost trade documented at call sites).
+    """
+    shingles = word_shingles(documents, n)
+    probe = shingles
+    if max_doc_freq is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        probe = shingles.join(rare, "shingle", "leftsemi")
+    a = probe.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = probe.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    return _verified_jaccard(cand, shingles, threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingles: DataFrame, k: int = 8) -> DataFrame:
+    """k-permutation MinHash: mh_i = min over shingles of sha2(i + ':' + s).
+
+    One groupBy over the shingle relation computes all k mins map-side
+    (partial aggregation), so signature cost is a single shuffle of
+    (doc_id, k * 64B).
+    """
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"{i}:"), F.col("shingle")), 256)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, bkey): band key = sha2 of the band's concatenated rows."""
+    assert k % rows_per_band == 0
+    parts = []
+    for band in range(k // rows_per_band):
+        cols = [F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            signatures.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.sha2(F.concat(*cols), 256).alias("bkey"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing any band bucket; the only join is on
+    (band, bkey) — linear in bucket collisions, not in doc pairs."""
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_lsh_dedup(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash/LSH near-dedup: signature -> band join -> exact-Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) for verified near-dup pairs.
+    """
+    shingles = word_shingles(documents, n)
+    sig = minhash_signatures(shingles, k)
+    cand = lsh_candidates(lsh_bands(sig, k, rows_per_band))
+    return _verified_jaccard(cand, shingles, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(documents: DataFrame, bits: int = 8, text_col: str = "text") -> DataFrame:
+    """Per-document SimHash over the distinct-token set: bit p is the
+    majority vote of hex-digit p's high bit across token sha2 digests.
+
+    (doc_id, simhash) where simhash is a '0'/'1' string of length ``bits``
+    (<= 64). Map-only + one groupBy(doc_id); near-dup candidates are docs
+    sharing a fingerprint (or Hamming-adjacent fingerprints via band joins).
+    """
+    assert 1 <= bits <= 64
+    toks = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "").dropDuplicates()
+    h = toks.select("doc_id", F.sha2(F.col("tok"), 256).alias("hx"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring("hx", p + 1, 1).isin(*"89abcdef"), 1).otherwise(0)
+        ).alias(f"b{p}")
+        for p in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_aggs)
+    fingerprint = F.concat(
+        *[
+            F.when(F.col(f"b{p}") * 2 > F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+            for p in range(bits)
+        ]
+    )
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_dup_groups(documents: DataFrame, bits: int = 8) -> DataFrame:
+    """Docs sharing an identical SimHash fingerprint (Hamming distance 0)."""
+    sh = simhash(documents, bits)
+    w = Window.partitionBy("simhash")
+    return (
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.min("doc_id").over(w).alias("keep_id"),
+            F.count("*").over(w).alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+        .drop("group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (brute-force verification baseline)
+# ---------------------------------------------------------------------------
+
+def cosine_col(a, b) -> F.Column:
+    """Cosine similarity between two array<float> columns, in double math:
+    zip_with product + aggregate fold — JVM-side, no UDF."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """(id_a, id_b, cos) for pairs with cosine >= threshold; id_a < id_b.
+
+    Brute-force O(n^2) — the oracle/verification baseline. At scale, run
+    ``annsearch.bucket_lsh_topk`` to generate candidates and verify those
+    pairs only.
+    """
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

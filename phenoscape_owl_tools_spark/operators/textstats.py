@@ -1,0 +1,98 @@
+"""Text analysis over the document corpus: language-ID, quality scoring,
+BPE-ish token counting, rolling-window fingerprinting.
+
+Everything here is pure column expressions (whole-stage codegen, map-only,
+no shuffle, no Python) — at 100 TB these run at scan speed with filters
+and column pruning pushed into the parquet/Iceberg reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Character n-gram marker profiles (public-knowledge function-word n-grams).
+# Scores are occurrence counts of each marker in the padded text; the
+# prediction is the alphabetically-first argmax, 'und' (undetermined) when
+# every score is zero — fully deterministic and SQL-reproducible.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": (" der ", " und ", " die ", " ein "),
+    "en": (" the ", " and ", " of ", " a "),
+    "es": (" el ", " los ", " las ", " una "),
+    "fr": (" le ", " les ", " des ", " une "),
+    "zh": ("的", "是", "了"),
+}
+
+# GPT-2-style pre-tokenizer simplification: letter runs, single digits,
+# punctuation runs (shared regex dialect between Spark's Java regex and
+# DuckDB's RE2 for these constructs).
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "and", "of")
+
+
+def _occurrences(padded, marker: str) -> F.Column:
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(marker)))) / len(marker)
+
+
+def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, score): n-gram-profile language identification."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum((_occurrences(padded, m) for m in markers), F.lit(0.0))
+        for lang, markers in sorted(LANG_PROFILES.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # alphabetically-first argmax: build the when-chain in reverse order
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        pred.alias("pred_lang"),
+        F.round(best, 2).alias("score"),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, q): heuristic quality in [0, 1] —
+    length saturation x (1 - stopword ratio) x (1 - non-alnum char ratio)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop / n_tokens
+    stripped = F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")
+    punct_ratio = F.length(stripped) / F.length(F.col(text_col))
+    q = F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * (1.0 - stop_ratio) * (1.0 - punct_ratio)
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(q, 6).alias("q"),
+    )
+
+
+def bpe_token_count(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens): BPE-pre-tokenizer-style regex token count."""
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(
+    documents: DataFrame, window: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp): winnowing-style fingerprint — the minimum digest over
+    all character ``window``-grams. Robust to local edits anywhere except
+    around the minimizing window (unlike the whole-text hash)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)),"
+        f" i -> sha2(substring({text_col}, i, {window}), 256))"
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_min(grams).alias("fp"),
+    )

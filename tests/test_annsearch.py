@@ -1,0 +1,73 @@
+"""ANN search: brute-force top-k vs a numpy oracle; bucket-LSH is a strict
+subset of brute force restricted to the query's bucket."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from phenoscape_owl_tools_spark.operators import annsearch
+
+from tests.conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF001}/embeddings.parquet")
+
+
+def _np_topk(vecs: dict[int, np.ndarray], qids: list[int], k: int):
+    out = {}
+    for qid in qids:
+        qv = vecs[qid].astype(np.float64)
+        scored = []
+        for nid, cv in vecs.items():
+            if nid == qid:
+                continue
+            cv = cv.astype(np.float64)
+            cos = round(float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))), 6)
+            scored.append((-cos, nid))
+        scored.sort()
+        out[qid] = [(nid, -negcos) for negcos, nid in scored[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    qids = [q for q in vecs if q < 8]
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = annsearch.brute_force_topk(emb, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos"]))
+    expect = _np_topk(vecs, qids, 5)
+    for qid in qids:
+        assert [n for n, _ in by_q[qid]] == [n for n, _ in expect[qid]]
+        for (gn, gc), (en, ec) in zip(by_q[qid], expect[qid]):
+            assert gc == pytest.approx(ec, abs=2e-6)
+
+
+def test_bucket_lsh_is_bucket_restricted_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = annsearch.bucket_lsh_topk(emb, queries, k=5).collect()
+    # every LSH neighbor shares the query's bucket
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", annsearch.sign_bucket(F.col("embedding")).alias("b")).collect()
+    }
+    assert len(lsh) > 0
+    for r in lsh:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+    # within a bucket, ranking is exact: rank sequence starts at 1, increasing
+    by_q: dict[int, list] = {}
+    for r in sorted(lsh, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r["cos"] for r in rows]
+        assert cos == sorted(cos, reverse=True)

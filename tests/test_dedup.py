@@ -1,0 +1,111 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — semantics checked against tiny hand-computable inputs
+plus a Python oracle for Jaccard/LSH recall on real data."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from phenoscape_owl_tools_spark.operators import dedup
+
+from tests.conftest import SF001
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_exact_dedup_groups(spark):
+    d = _docs(spark, [(1, "a b c"), (2, "A B C"), (3, "x y z"), (4, "a b c")])
+    out = {r["doc_id"]: (r["keep_id"], r["is_dup_group"]) for r in dedup.exact_dedup(d).collect()}
+    # case-insensitive: 1, 2, 4 collapse; keeper is min doc_id as string
+    assert out["1"] == ("1", True)
+    assert out["2"] == ("1", True)
+    assert out["4"] == ("1", True)
+    assert out["3"] == ("3", False)
+
+
+def test_word_shingles(spark):
+    d = _docs(spark, [(1, "a b c d")])
+    got = sorted(r["shingle"] for r in dedup.word_shingles(d, n=3).collect())
+    assert got == ["a b c", "b c d"]
+
+
+def _py_jaccard(t1: str, t2: str, n: int = 3) -> float:
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    a, b = sh(t1), sh(t2)
+    return len(a & b) / len(a | b)
+
+
+def test_ngram_jaccard_matches_python_oracle(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence with other words"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    d = _docs(spark, texts)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2).collect()
+    }
+    expect = {}
+    for (i, t1), (j, t2) in itertools.combinations(texts, 2):
+        jc = _py_jaccard(t1, t2)
+        if jc >= 0.2:
+            expect[(str(i), str(j))] = round(jc, 6)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-6)
+
+
+def test_minhash_lsh_finds_near_dups_and_verifies(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup(docs, n=3, k=8, threshold=0.2).collect()
+    }
+    # precision is exact (verified); every reported jaccard matches brute force
+    for k, v in lsh.items():
+        assert k in exact and exact[k] == v
+    # recall of banded minhash on high-similarity pairs should be high
+    high = {k for k, v in exact.items() if v >= 0.5}
+    if high:
+        assert len(high & set(lsh)) / len(high) >= 0.8
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    d = _docs(spark, [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "zz yy xx ww vv uu")])
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d, bits=8).collect()}
+    # simhash is set-based: word order doesn't matter
+    assert got["1"] == got["2"]
+    assert len(got["1"]) == 8 and set(got["1"]) <= {"0", "1"}
+    groups = dedup.simhash_dup_groups(d, bits=8).collect()
+    gids = {r["doc_id"] for r in groups}
+    assert {"1", "2"} <= gids
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.1, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in dedup.embedding_near_dups(emb, 0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(0.99 / (0.99**2 + 0.1**2) ** 0.5, abs=1e-5)

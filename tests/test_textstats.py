@@ -1,0 +1,66 @@
+"""Text-analysis operators: language-ID, quality score, BPE-ish token
+count, rolling fingerprint."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from phenoscape_owl_tools_spark.operators import textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_language_id_markers(spark):
+    d = _docs(spark, [
+        (1, "the cat and the dog of a house"),
+        (2, "der hund und die katze und ein haus"),
+        (3, "le chat et les chiens des une maison"),
+        (4, "xyzzy plugh qwerty"),
+    ])
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(d).collect()}
+    assert got["1"] == "en"
+    assert got["2"] == "de"
+    assert got["3"] == "fr"
+    assert got["4"] == "und"
+
+
+def test_quality_score_components(spark):
+    d = _docs(spark, [(1, "the the the the"), (2, "interesting novel content here")])
+    got = {r["doc_id"]: r for r in textstats.quality_score(d).collect()}
+    assert got["1"]["stop_ratio"] == 1.0
+    assert got["1"]["q"] == 0.0
+    assert got["2"]["stop_ratio"] == 0.0
+    assert got["2"]["q"] == pytest.approx(4 / 50, abs=1e-6)
+    assert got["2"]["n_tokens"] == 4
+
+
+def test_bpe_token_count(spark):
+    d = _docs(spark, [(1, "hello, world 42")])
+    got = textstats.bpe_token_count(d).collect()[0]
+    # hello | , | world | 4 | 2
+    assert got["n_bpe_tokens"] == 5
+
+
+def test_rolling_fingerprint_is_min_window_hash(spark):
+    text = "abcdefgh"
+    d = _docs(spark, [(1, text)])
+    got = textstats.rolling_fingerprint(d, window=5).collect()[0]["fp"]
+    expect = min(
+        hashlib.sha256(text[i : i + 5].encode()).hexdigest()
+        for i in range(len(text) - 4)
+    )
+    assert got == expect
+
+
+def test_rolling_fingerprint_local_edit_far_from_min_window(spark):
+    # identical around the minimizing window => same fingerprint class often;
+    # here just check determinism and shape
+    d = _docs(spark, [(1, "a" * 60), (2, "a" * 60)])
+    fps = [r["fp"] for r in textstats.rolling_fingerprint(d).collect()]
+    assert fps[0] == fps[1]
+    assert len(fps[0]) == 64
