@@ -127,17 +127,31 @@ def explode_text_spans(documents: DataFrame) -> DataFrame:
     )
 
 
+def broadcast_dictionary(spark: SparkSession, dictionary: DataFrame):
+    """Collect + broadcast (surface, iri) entries once; reuse across stages.
+
+    A pipeline calls this a single time per ontology dictionary — re-collecting
+    per query adds a serial driver step that erodes scaling (Amdahl)."""
+    entries = [(r["surface"], r["iri"]) for r in dictionary.collect()]
+    return spark.sparkContext.broadcast(entries)
+
+
 def detect_mentions(
     spark: SparkSession,
     documents: DataFrame,
-    dictionary: DataFrame,
+    dictionary,
 ) -> DataFrame:
     """Extract linked mentions from every text span.
 
-    Returns ``(doc_id, span_idx, term, surface, start_token, n_tokens)``.
+    ``dictionary`` is a (surface, iri) DataFrame or a prebuilt broadcast from
+    :func:`broadcast_dictionary`. Returns
+    ``(doc_id, span_idx, term, surface, start_token, n_tokens)``.
     """
-    entries = [(r["surface"], r["iri"]) for r in dictionary.collect()]
-    bc = spark.sparkContext.broadcast(entries)
+    bc = (
+        dictionary
+        if not isinstance(dictionary, DataFrame)
+        else broadcast_dictionary(spark, dictionary)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         trie = _PhraseTrie(bc.value)
