@@ -625,6 +625,577 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# closure extensions: direct hierarchy, instance closure, satisfiability
+# --------------------------------------------------------------------------
+
+def q_direct_hierarchy(spark, sf_dir) -> DataFrame:
+    cl = closure_op.transitive_closure(KG.subclass_edges(_docs(spark, sf_dir)))
+    return closure_op.direct_hierarchy(cl)
+
+
+SQL_DIRECT_HIERARCHY = SQL_PREAMBLE + """
+SELECT DISTINCT sub, sup FROM cl
+EXCEPT
+SELECT DISTINCT x.sub, y.sup FROM cl x JOIN cl y ON x.sup = y.sub
+"""
+
+
+def q_instance_closure(spark, sf_dir) -> DataFrame:
+    m = _detected_mentions(spark, sf_dir)
+    types = m.select(
+        F.concat(F.lit(DOC), F.col("doc_id")).alias("individual"),
+        F.col("term").alias("cls"),
+    ).dropDuplicates()
+    cl = closure_op.transitive_closure(KG.subclass_edges(_docs(spark, sf_dir)))
+    return closure_op.instance_closure(types, cl)
+
+
+SQL_INSTANCE_CLOSURE = SQL_PREAMBLE + f""",
+types AS (
+  SELECT DISTINCT '{DOC}' || doc_id AS individual,
+         'http://kg.example.org/term/' || w AS cls
+  FROM words
+)
+SELECT individual, cls FROM types
+UNION
+SELECT t.individual, cl.sup AS cls FROM types t JOIN cl ON t.cls = cl.sub
+"""
+
+
+def q_unsat_classes(spark, sf_dir) -> DataFrame:
+    """C7 — DisjointClasses(len-3 class, its namespace root) makes every
+    class under a len-3 class unsatisfiable."""
+    flat = _docs(spark, sf_dir)
+    cl = closure_op.transitive_closure(KG.subclass_edges(flat))
+    ns = KG.terms(flat).select(F.col("namespace").alias("ns")).dropDuplicates()
+    disjoints = ns.select(
+        F.concat(F.lit(KG.LEN_CLASS), F.col("ns"), F.lit("/3")).alias("a"),
+        F.concat(F.lit(KG.NS_ROOT), F.col("ns")).alias("b"),
+    )
+    return closure_op.unsatisfiable_classes(cl, disjoints)
+
+
+SQL_UNSAT = SQL_PREAMBLE + """,
+nodes AS (SELECT sub AS n FROM cl UNION SELECT sup FROM cl),
+refl AS (SELECT sub, sup FROM cl UNION SELECT n, n FROM nodes),
+disj AS (
+  SELECT DISTINCT 'http://kg.example.org/class/' || ns || '/3' AS a,
+         'http://kg.example.org/root/' || ns AS b
+  FROM vocab
+)
+SELECT DISTINCT x.sub AS cls
+FROM refl x JOIN disj d ON x.sup = d.a
+JOIN refl y ON y.sub = x.sub AND y.sup = d.b
+"""
+
+
+# --------------------------------------------------------------------------
+# negation equivalences, generators P1/P6/P9/P13
+# --------------------------------------------------------------------------
+
+def q_negation_equivalence(spark, sf_dir) -> DataFrame:
+    flat = _docs(spark, sf_dir)
+    cl = closure_op.transitive_closure(KG.subclass_edges(flat))
+    nodes = cl.select(F.col("sub").alias("c")).unionByName(
+        cl.select(F.col("sup").alias("c"))
+    ).dropDuplicates()
+    negates = nodes.select(iri_fn.negation_class_iri(F.col("c")).alias("n"), "c")
+    comp = components_op.connected_components(KG.equiv_edges(flat))
+    return negation_op.negation_equivalence_axioms(negates, comp)
+
+
+SQL_NEGATION_EQUIV = f"""
+WITH {SQL_WORDS}, {SQL_VOCAB},
+grp AS (
+  SELECT 'http://kg.example.org/term/' || w AS node,
+         'http://kg.example.org/term/' || min(w) OVER (PARTITION BY ns, len) AS component,
+         count(*) OVER (PARTITION BY ns, len) AS grp_size
+  FROM vocab
+)
+SELECT DISTINCT '{vocab.NOT_PREFIX}' || node AS a,
+       '{vocab.NOT_PREFIX}' || component AS b
+FROM grp WHERE grp_size > 1 AND node <> component
+"""
+
+
+def q_normalized_predicates(spark, sf_dir) -> DataFrame:
+    """P1 — legacy predicate IRIs renamed to canonical via the literal map."""
+    from phenoscape_owl_tools_spark.operators import generators
+
+    m = _detected_mentions(spark, sf_dir)
+    linked = m.join(
+        F.broadcast(KG.terms(_docs(spark, sf_dir)).select(F.col("iri").alias("term"), "namespace")),
+        on="term",
+    )
+    legacy = (
+        F.when(F.col("namespace") == "anatomy",
+               F.lit("http://purl.obolibrary.org/obo/uberon/core#part_of"))
+        .when(F.col("namespace") == "quality",
+              F.lit("http://purl.obolibrary.org/obo/zfa#develops_from"))
+        .otherwise(F.lit("http://example.org/unmapped"))
+    )
+    triples = linked.select(
+        F.concat(F.lit(DOC), F.col("doc_id")).alias("subj"),
+        legacy.alias("pred"),
+        F.col("term").alias("obj"),
+    ).dropDuplicates()
+    return generators.normalize_properties(triples)
+
+
+SQL_NORMALIZED_PREDS = f"""
+WITH {SQL_WORDS}
+SELECT DISTINCT '{DOC}' || doc_id AS subj,
+       CASE WHEN w < 'g' THEN '{vocab.PART_OF}'
+            WHEN w < 's' THEN '{vocab.DEVELOPS_FROM}'
+            ELSE 'http://example.org/unmapped' END AS pred,
+       'http://kg.example.org/term/' || w AS obj
+FROM words
+"""
+
+
+def q_similarity_templates(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import generators
+
+    anatomy = KG.terms(_docs(spark, sf_dir)).where(F.col("namespace") == "anatomy")
+    return generators.similarity_templates(anatomy)["gci_edges"]
+
+
+SQL_SIMILARITY_TEMPLATES = f"""
+WITH {SQL_WORDS}, {SQL_VOCAB},
+anat AS (SELECT 'http://kg.example.org/term/' || w AS entity FROM vocab WHERE ns = 'anatomy'),
+r AS (
+  SELECT entity,
+    '{vocab.EXPRESSION_PREFIX}' || sha256('ObjectSomeValuesFrom {vocab.PHENOTYPE_OF} ' || entity) AS phen_e,
+    '{vocab.EXPRESSION_PREFIX}' || sha256('ObjectSomeValuesFrom {vocab.PHENOTYPE_OF} ' ||
+      '{vocab.EXPRESSION_PREFIX}' || sha256('ObjectSomeValuesFrom {vocab.PART_OF} ' || entity)) AS phen_po_e,
+    '{vocab.EXPRESSION_PREFIX}' || sha256('ObjectUnionOf {vocab.PHENOTYPE_OF} ' || entity) AS union_tpl
+  FROM anat
+)
+SELECT phen_e AS sub, union_tpl AS sup FROM r
+UNION ALL
+SELECT phen_po_e AS sub, union_tpl AS sup FROM r
+"""
+
+
+def _tax_edges(spark, sf_dir):
+    nation = KG.load(spark, sf_dir, "nation")
+    region = KG.load(spark, sf_dir, "region")
+    customer = KG.load(spark, sf_dir, "customer")
+    return (
+        customer.select(F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("child"),
+                        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("parent"))
+        .unionByName(nation.select(F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("child"),
+                                   F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("parent")))
+        .unionByName(region.select(F.concat(F.lit("r:"), F.col("r_regionkey").cast("string")).alias("child"),
+                                   F.lit("root").alias("parent")))
+    )
+
+
+def q_taxonomy_triples(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import generators
+
+    return generators.taxonomy_converter(_tax_edges(spark, sf_dir))
+
+
+SQL_TAXONOMY_TRIPLES = f"""
+WITH e AS (
+  SELECT 'c:' || cast(c_custkey AS varchar) AS child, 'n:' || cast(c_nationkey AS varchar) AS parent FROM customer
+  UNION ALL SELECT 'n:' || cast(n_nationkey AS varchar), 'r:' || cast(n_regionkey AS varchar) FROM nation
+  UNION ALL SELECT 'r:' || cast(r_regionkey AS varchar), 'root' FROM region
+)
+SELECT child AS subj, '{vocab.SUBCLADE_OF}' AS pred, parent AS obj FROM e
+UNION ALL
+SELECT t, '{vocab.RDF_TYPE}', '{vocab.TAXON}' FROM (
+  SELECT DISTINCT child AS t FROM e UNION SELECT DISTINCT parent FROM e
+)
+"""
+
+
+def q_defined_by(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import generators
+
+    terms = KG.terms(_docs(spark, sf_dir))
+    prefix = (
+        F.when(F.col("namespace") == "anatomy", F.lit("UBERON"))
+        .when(F.col("namespace") == "quality", F.lit("PATO"))
+        .otherwise(F.lit("VTO"))
+    )
+    obo = terms.select(
+        F.concat(F.lit(vocab.OBO_PREFIX), prefix, F.lit("_"), F.col("label")).alias("iri")
+    )
+    return generators.defined_by(obo)
+
+
+SQL_DEFINED_BY = f"""
+WITH {SQL_WORDS}, {SQL_VOCAB},
+obo AS (
+  SELECT '{vocab.OBO_PREFIX}' ||
+         (CASE WHEN ns = 'anatomy' THEN 'UBERON' WHEN ns = 'quality' THEN 'PATO' ELSE 'VTO' END)
+         || '_' || w AS cls,
+         CASE WHEN ns = 'anatomy' THEN 'uberon' WHEN ns = 'quality' THEN 'pato' ELSE 'vto' END AS ont
+  FROM vocab
+)
+SELECT DISTINCT cls AS subj, '{vocab.RDFS_IS_DEFINED_BY}' AS pred,
+       '{vocab.OBO_PREFIX}' || ont || '.owl' AS obj
+FROM obo
+"""
+
+
+# --------------------------------------------------------------------------
+# EQ composition (P7/P8), grid (J11/J12), annotation report (A7)
+# --------------------------------------------------------------------------
+
+def _eq_annotations(spark, sf_dir) -> DataFrame:
+    """Deterministic (doc_id, entity, quality, related_entity) derivation
+    both engines can compute: min/max anatomy + parity-gated min quality."""
+    words = KG.doc_words(_docs(spark, sf_dir))
+    agg = words.groupBy("doc_id").agg(
+        F.min(F.when(F.col("word") < "g", F.col("word"))).alias("mina"),
+        F.max(F.when(F.col("word") < "g", F.col("word"))).alias("maxa"),
+        F.min(F.when((F.col("word") >= "g") & (F.col("word") < "s"), F.col("word"))).alias("minq"),
+    )
+    return agg.select(
+        "doc_id",
+        F.when(F.col("mina").isNotNull(), F.concat(F.lit(TERM), F.col("mina"))).alias("entity"),
+        F.when(F.col("minq").isNull() | (F.length("minq") % 2 == 0), F.lit(None))
+        .when(F.col("minq") == KG.ABSENT_MARKER, F.lit(vocab.ABSENT))
+        .otherwise(F.concat(F.lit(TERM), F.col("minq"))).alias("quality"),
+        F.when(F.col("maxa").isNotNull() & (F.col("maxa") != F.col("mina")),
+               F.concat(F.lit(TERM), F.col("maxa"))).alias("related_entity"),
+    )
+
+
+SQL_EQ_ANNOTATIONS_CTE = f"""
+eqagg AS (
+  SELECT doc_id,
+    min(CASE WHEN w < 'g' THEN w END) AS mina,
+    max(CASE WHEN w < 'g' THEN w END) AS maxa,
+    min(CASE WHEN w >= 'g' AND w < 's' THEN w END) AS minq
+  FROM words GROUP BY doc_id
+),
+eqann AS (
+  SELECT doc_id,
+    CASE WHEN mina IS NOT NULL THEN '{TERM}' || mina END AS entity,
+    CASE WHEN minq IS NULL OR length(minq) % 2 = 0 THEN NULL
+         WHEN minq = '{KG.ABSENT_MARKER}' THEN '{vocab.ABSENT}'
+         ELSE '{TERM}' || minq END AS quality,
+    CASE WHEN maxa IS NOT NULL AND maxa <> mina THEN '{TERM}' || maxa END AS related_entity
+  FROM eqagg
+)"""
+
+
+def q_eq_composition(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import eq as eq_op
+
+    composed = eq_op.compose_eq_phenotypes(_eq_annotations(spark, sf_dir))
+    return composed.select("doc_id", "canonical_expr", "phenotype_cls")
+
+
+def _sql_eq_composed_cte() -> str:
+    from phenoscape_owl_tools_spark.operators.eq import MULTICELLULAR_ORGANISM, PRESENT
+
+    present = f"concat_ws(' ', 'has_part some (', '{PRESENT}', 'and inheres_in some', entity, ')')"
+    absent = (
+        f"concat_ws(' ', 'has_part some (', '{vocab.LACKS_ALL_PARTS_OF_TYPE}', "
+        f"'and inheres_in some', '{MULTICELLULAR_ORGANISM}', 'and towards value', entity, "
+        f"') and phenotype_of some', entity)"
+    )
+    lacks = (
+        f"concat_ws(' ', 'has_part some (', '{vocab.LACKS_ALL_PARTS_OF_TYPE}', "
+        f"'and inheres_in some', entity, 'and towards value', related_entity, "
+        f"') and phenotype_of some', related_entity)"
+    )
+    q_only = "concat_ws(' ', 'has_part some', quality)"
+    q_re = "concat_ws(' ', 'has_part some (', quality, 'and towards some', related_entity, ')')"
+    e_q = "concat_ws(' ', 'has_part some (', quality, 'and inheres_in some', entity, ')')"
+    e_q_re = (
+        "concat_ws(' ', 'has_part some (', quality, 'and inheres_in some', entity, "
+        "'and towards some', related_entity, ')')"
+    )
+    return f"""
+composed AS (
+  SELECT doc_id,
+    CASE
+      WHEN entity IS NULL AND quality IS NULL THEN NULL
+      WHEN entity IS NOT NULL AND quality IS NULL THEN {present}
+      WHEN entity IS NOT NULL AND quality = '{vocab.ABSENT}' AND related_entity IS NULL THEN {absent}
+      WHEN entity IS NOT NULL AND quality = '{vocab.LACKS_ALL_PARTS_OF_TYPE}' AND related_entity IS NOT NULL THEN {lacks}
+      WHEN entity IS NULL AND quality IS NOT NULL AND related_entity IS NULL THEN {q_only}
+      WHEN entity IS NULL AND quality IS NOT NULL AND related_entity IS NOT NULL THEN {q_re}
+      WHEN entity IS NOT NULL AND quality IS NOT NULL AND related_entity IS NULL THEN {e_q}
+      ELSE {e_q_re}
+    END AS canonical_expr,
+    entity, quality, related_entity
+  FROM eqann
+)"""
+
+
+SQL_EQ_COMPOSITION = f"""
+WITH {SQL_WORDS}, {SQL_EQ_ANNOTATIONS_CTE}, {_sql_eq_composed_cte()}
+SELECT doc_id, canonical_expr,
+       '{vocab.EXPRESSION_PREFIX}' || sha256(canonical_expr) AS phenotype_cls
+FROM composed WHERE canonical_expr IS NOT NULL
+"""
+
+
+def q_eq_annotation_triples(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import eq as eq_op
+
+    composed = eq_op.compose_eq_phenotypes(_eq_annotations(spark, sf_dir))
+    return eq_op.eq_annotation_triples(composed)
+
+
+SQL_EQ_ANNOTATION_TRIPLES = f"""
+WITH {SQL_WORDS}, {SQL_EQ_ANNOTATIONS_CTE}, {_sql_eq_composed_cte()},
+named AS (
+  SELECT *, '{vocab.EXPRESSION_PREFIX}' || sha256(canonical_expr) AS phenotype_cls
+  FROM composed WHERE canonical_expr IS NOT NULL
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT phenotype_cls AS subj, '{vocab.PHENOSCAPE_VOCAB}entity_term' AS pred, entity AS obj
+  FROM named WHERE entity IS NOT NULL
+  UNION ALL
+  SELECT phenotype_cls, '{vocab.PHENOSCAPE_VOCAB}quality_term', quality FROM named WHERE quality IS NOT NULL
+  UNION ALL
+  SELECT phenotype_cls, '{vocab.PHENOSCAPE_VOCAB}related_entity_term', related_entity
+  FROM named WHERE related_entity IS NOT NULL
+)
+"""
+
+
+def q_eq_grid_survivors(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import eq as eq_op
+
+    terms = KG.terms(_docs(spark, sf_dir))
+    grid = eq_op.eq_grid(
+        terms.where(F.col("namespace") == "anatomy"),
+        terms.where(F.col("namespace") == "quality"),
+    )
+    words = KG.doc_words(_docs(spark, sf_dir))
+    a = words.where(F.col("word") < "g").select(
+        "doc_id", F.concat(F.lit(TERM), F.col("word")).alias("entity"))
+    q = words.where((F.col("word") >= "g") & (F.col("word") < "s")).select(
+        "doc_id", F.concat(F.lit(TERM), F.col("word")).alias("quality"))
+    cooccur = a.join(q, on="doc_id").select("entity", "quality").dropDuplicates()
+    return eq_op.surviving_subsumers(grid, cooccur)
+
+
+SQL_EQ_GRID_SURVIVORS = f"""
+WITH {SQL_WORDS}, {SQL_VOCAB},
+grid AS (
+  SELECT a.iri AS entity, q.iri AS quality
+  FROM (SELECT '{TERM}' || w AS iri FROM vocab WHERE ns = 'anatomy') a
+  CROSS JOIN (SELECT '{TERM}' || w AS iri FROM vocab WHERE ns = 'quality') q
+),
+cooccur AS (
+  SELECT DISTINCT '{TERM}' || a.w AS entity, '{TERM}' || q.w AS quality
+  FROM words a JOIN words q ON a.doc_id = q.doc_id
+  WHERE a.w < 'g' AND q.w >= 'g' AND q.w < 's'
+)
+SELECT g.entity, g.quality,
+  concat_ws(' ', 'has_part some (', g.quality, 'and inheres_in some', g.entity, ')') AS canonical_expr,
+  '{vocab.EXPRESSION_PREFIX}' || sha256(
+    concat_ws(' ', 'has_part some (', g.quality, 'and inheres_in some', g.entity, ')')) AS phenotype_cls
+FROM grid g SEMI JOIN cooccur c ON g.entity = c.entity AND g.quality = c.quality
+"""
+
+
+def q_annotation_status(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import report
+
+    return report.annotation_status(_eq_annotations(spark, sf_dir))
+
+
+SQL_ANNOTATION_STATUS = f"""
+WITH {SQL_WORDS}, {SQL_EQ_ANNOTATIONS_CTE}
+SELECT bucket, count(*) AS n_annotations, count(DISTINCT doc_id) AS n_docs FROM (
+  SELECT doc_id,
+    CASE WHEN entity IS NOT NULL AND quality IS NOT NULL AND related_entity IS NOT NULL THEN 'full_eq_re'
+         WHEN entity IS NOT NULL AND quality IS NOT NULL THEN 'eq'
+         WHEN entity IS NOT NULL THEN 'entity_only'
+         WHEN quality IS NOT NULL THEN 'quality_only'
+         ELSE 'empty' END AS bucket
+  FROM eqann
+) GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity extensions: top subsumers (W1), profile Jaccard (J10),
+# expect-score regression (A8)
+# --------------------------------------------------------------------------
+
+def _pairwise_inputs(spark, sf_dir):
+    profs = _order_profiles(spark, sf_dir)
+    small = profs.where(F.col("custkey") < 120)
+    q = small.where(F.col("custkey") % 2 == 1).select("individual", "phenotype")
+    c = small.where(F.col("custkey") % 2 == 0).select("individual", "phenotype")
+    corpus_inds = profs.where(F.col("custkey") % 2 == 0).select("individual").dropDuplicates()
+    cl = _ph_closure(spark, sf_dir)
+    ind = similarity_op.indirect_associations(profs.select("individual", "phenotype"), cl)
+    ic = similarity_op.information_content(ind, corpus_inds, cl)
+    return q, c, cl, ic
+
+
+SQL_PAIR_ANN_CTE = f"""
+profs AS (
+  SELECT DISTINCT 'http://kg.example.org/gene/' || cast(o_custkey AS varchar) AS individual,
+         'http://kg.example.org/ph/' || o_orderpriority AS phenotype, o_custkey AS custkey
+  FROM orders
+),
+corpus_inds AS (SELECT DISTINCT individual FROM profs WHERE custkey % 2 = 0),
+n AS (SELECT count(*) AS corpus_size FROM corpus_inds),
+nodes AS (
+  SELECT individual, phenotype AS node FROM profs
+  UNION SELECT individual, '{PH_ROOT}' FROM profs
+),
+freqs AS (
+  SELECT node, count(DISTINCT nodes.individual) AS freq
+  FROM nodes JOIN corpus_inds ON nodes.individual = corpus_inds.individual GROUP BY node
+),
+ic AS (
+  SELECT node, (-log2(cast(freq AS double) / corpus_size)) / log2(cast(corpus_size AS double)) AS ic
+  FROM freqs CROSS JOIN n
+),
+small AS (SELECT * FROM profs WHERE custkey < 120),
+q AS (SELECT individual, phenotype FROM small WHERE custkey % 2 = 1),
+c AS (SELECT individual, phenotype FROM small WHERE custkey % 2 = 0),
+-- reflexive common subsumers: shared phenotype or the root; argmax by
+-- (ic desc, subsumer desc) replicates Spark's max(struct(ic, anc))
+cands AS (
+  SELECT q.individual AS query, c.individual AS corpus, q.phenotype AS qa, s.anc, s.ic
+  FROM q CROSS JOIN c
+  CROSS JOIN LATERAL (
+    SELECT q.phenotype AS anc, (SELECT ic FROM ic WHERE node = q.phenotype) AS ic
+    WHERE q.phenotype = c.phenotype
+    UNION ALL
+    SELECT '{PH_ROOT}', (SELECT ic FROM ic WHERE node = '{PH_ROOT}')
+  ) s
+),
+pair_ann AS (
+  SELECT query, corpus, qa, anc AS max_subsumer, ic AS max_subsumer_ic
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query, corpus, qa ORDER BY ic DESC, anc DESC) AS rn
+    FROM cands
+  ) WHERE rn = 1
+)"""
+
+
+def q_sim_top_subsumers(spark, sf_dir) -> DataFrame:
+    q, c, cl, ic = _pairwise_inputs(spark, sf_dir)
+    pas = similarity_op.pairwise_scores(q, c, cl, ic)
+    top = similarity_op.top_subsumers(pas, k=3)
+    return top.select(
+        "query", "corpus", "max_subsumer",
+        F.round(F.col("max_subsumer_ic") + F.lit(0.0), 6).alias("ic_r"),
+    )
+
+
+SQL_SIM_TOP_SUBSUMERS = f"""
+WITH {SQL_PAIR_ANN_CTE}
+SELECT DISTINCT query, corpus, max_subsumer, round(max_subsumer_ic + 0.0, 6) AS ic_r
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query, corpus ORDER BY max_subsumer_ic DESC, qa ASC) AS rn
+  FROM pair_ann
+) WHERE rn <= 3 AND max_subsumer_ic > 0
+"""
+
+
+def q_profile_jaccard(spark, sf_dir) -> DataFrame:
+    q, c, cl, _ = _pairwise_inputs(spark, sf_dir)
+    jac = similarity_op.jaccard_similarity(q, c, cl)
+    return jac.select(
+        "query", "corpus", F.round(F.col("jaccard") + F.lit(0.0), 6).alias("jaccard_r")
+    )
+
+
+SQL_PROFILE_JACCARD = f"""
+WITH {SQL_PAIR_ANN_CTE},
+qi AS (
+  SELECT DISTINCT individual AS query, anc FROM (
+    SELECT individual, phenotype AS anc FROM q
+    UNION SELECT individual, '{PH_ROOT}' FROM q
+  )
+),
+ci AS (
+  SELECT DISTINCT individual AS corpus, anc FROM (
+    SELECT individual, phenotype AS anc FROM c
+    UNION SELECT individual, '{PH_ROOT}' FROM c
+  )
+),
+qs AS (SELECT query, count(*) AS n_q FROM qi GROUP BY 1),
+cs AS (SELECT corpus, count(*) AS n_c FROM ci GROUP BY 1),
+inter AS (
+  SELECT qi.query, ci.corpus, count(*) AS n_common
+  FROM qi JOIN ci ON qi.anc = ci.anc GROUP BY 1, 2
+)
+SELECT i.query, i.corpus,
+       round(cast(n_common AS double) / (n_q + n_c - n_common) + 0.0, 6) AS jaccard_r
+FROM inter i JOIN qs ON i.query = qs.query JOIN cs ON i.corpus = cs.corpus
+"""
+
+
+def q_sim_expect_scores(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import regression
+
+    q, c, cl, ic = _pairwise_inputs(spark, sf_dir)
+    pas = similarity_op.pairwise_scores(q, c, cl, ic)
+    med = similarity_op.groupwise_median(pas)
+    q_sizes = q.groupBy("individual").agg(F.countDistinct("phenotype").alias("query_size"))
+    c_sizes = c.groupBy("individual").agg(F.countDistinct("phenotype").alias("corpus_size"))
+    scored = (
+        med.join(q_sizes, med["query"] == q_sizes["individual"]).drop("individual")
+        .join(c_sizes, med["corpus"] == c_sizes["individual"]).drop("individual")
+    )
+    out = regression.expect_scores(scored)
+    return out.select("query", "corpus", "p_value", "expect")
+
+
+SQL_SIM_EXPECT = f"""
+WITH {SQL_PAIR_ANN_CTE},
+med AS (
+  SELECT query, corpus, median(max_subsumer_ic) AS score FROM pair_ann GROUP BY 1, 2
+),
+qs AS (SELECT individual, count(DISTINCT phenotype) AS query_size FROM q GROUP BY 1),
+cs AS (SELECT individual, count(DISTINCT phenotype) AS corpus_size FROM c GROUP BY 1),
+scored AS (
+  SELECT m.query, m.corpus, m.score, ln(qs.query_size) AS x1, ln(cs.corpus_size) AS x2,
+         cs.corpus_size
+  FROM med m JOIN qs ON m.query = qs.individual JOIN cs ON m.corpus = cs.individual
+),
+m AS (
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(score) AS sy,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(x1*score) AS s1y, sum(x2*score) AS s2y, sum(score*score) AS syy
+  FROM scored
+),
+fit AS (
+  SELECT *,
+    (n*(s11*s22-s12*s12) - s1*(s1*s22-s12*s2) + s2*(s1*s12-s11*s2)) AS det,
+    (sy*(s11*s22-s12*s12) - s1*(s1y*s22-s12*s2y) + s2*(s1y*s12-s11*s2y)) AS det0,
+    (n*(s1y*s22-s12*s2y) - sy*(s1*s22-s12*s2) + s2*(s1*s2y-s1y*s2)) AS det1,
+    (n*(s11*s2y-s1y*s12) - s1*(s1*s2y-s1y*s2) + sy*(s1*s12-s11*s2)) AS det2
+  FROM m
+),
+coef AS (
+  SELECT det0/det AS b0, det1/det AS b1, det2/det AS b2,
+    sqrt(greatest(
+      syy + (det0/det)*(det0/det)*n + (det1/det)*(det1/det)*s11 + (det2/det)*(det2/det)*s22
+      - 2*(det0/det)*sy - 2*(det1/det)*s1y - 2*(det2/det)*s2y
+      + 2*(det0/det)*(det1/det)*s1 + 2*(det0/det)*(det2/det)*s2 + 2*(det1/det)*(det2/det)*s12,
+      0.0) / (n - 3)) AS sigma
+  FROM fit
+)
+SELECT query, corpus,
+  round(1.0 - exp(-exp(-((score - (b0 + b1*x1 + b2*x2)) / sigma) * pi() / sqrt(6.0)
+                       + 0.57721566490153286)), 6) AS p_value,
+  round((1.0 - exp(-exp(-((score - (b0 + b1*x1 + b2*x2)) / sigma) * pi() / sqrt(6.0)
+                       + 0.57721566490153286))) * corpus_size, 6) AS expect
+FROM scored CROSS JOIN coef
+"""
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline: dedup / ANN / text stats / multimodal
 # --------------------------------------------------------------------------
 
@@ -1102,6 +1673,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homology_axioms": q_homology,
         "ic_scores": q_ic_scores,
         "pairwise_similarity": q_pairwise_similarity,
+        "direct_hierarchy": q_direct_hierarchy,
+        "instance_closure": q_instance_closure,
+        "unsat_classes": q_unsat_classes,
+        "negation_equivalence": q_negation_equivalence,
+        "normalized_predicates": q_normalized_predicates,
+        "similarity_templates": q_similarity_templates,
+        "taxonomy_triples": q_taxonomy_triples,
+        "defined_by": q_defined_by,
+        "eq_composition": q_eq_composition,
+        "eq_annotation_triples": q_eq_annotation_triples,
+        "eq_grid_survivors": q_eq_grid_survivors,
+        "annotation_status": q_annotation_status,
+        "sim_top_subsumers": q_sim_top_subsumers,
+        "profile_jaccard": q_profile_jaccard,
+        "sim_expect_scores": q_sim_expect_scores,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "stopword_ratio": q_stopword_ratio,
@@ -1146,6 +1732,21 @@ def oracle_sql() -> dict[str, str]:
         "homology_axioms": SQL_HOMOLOGY,
         "ic_scores": SQL_IC_SCORES,
         "pairwise_similarity": SQL_PAIRWISE,
+        "direct_hierarchy": SQL_DIRECT_HIERARCHY,
+        "instance_closure": SQL_INSTANCE_CLOSURE,
+        "unsat_classes": SQL_UNSAT,
+        "negation_equivalence": SQL_NEGATION_EQUIV,
+        "normalized_predicates": SQL_NORMALIZED_PREDS,
+        "similarity_templates": SQL_SIMILARITY_TEMPLATES,
+        "taxonomy_triples": SQL_TAXONOMY_TRIPLES,
+        "defined_by": SQL_DEFINED_BY,
+        "eq_composition": SQL_EQ_COMPOSITION,
+        "eq_annotation_triples": SQL_EQ_ANNOTATION_TRIPLES,
+        "eq_grid_survivors": SQL_EQ_GRID_SURVIVORS,
+        "annotation_status": SQL_ANNOTATION_STATUS,
+        "sim_top_subsumers": SQL_SIM_TOP_SUBSUMERS,
+        "profile_jaccard": SQL_PROFILE_JACCARD,
+        "sim_expect_scores": SQL_SIM_EXPECT,
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "stopword_ratio": SQL_STOPWORD_RATIO,

@@ -172,3 +172,32 @@ def instance_closure(types: DataFrame, closure: DataFrame) -> DataFrame:
         .select("individual", F.col("sup").alias("cls"))
     )
     return direct.unionByName(inferred).dropDuplicates()
+
+
+def unsatisfiable_classes(closure: DataFrame, disjoints: DataFrame) -> DataFrame:
+    """C7 — satisfiability check (PhenoscapeKB.scala:313-321, 344-349).
+
+    A class is unsatisfiable iff its reflexive ancestor set contains both
+    members of some DisjointClasses pair. ``disjoints(a, b)``. Two
+    broadcast-sized joins against the materialized closure — no reasoner.
+    """
+    c = _edges(closure)
+    nodes = (
+        c.select(F.col("sub").alias("n"))
+        .unionByName(c.select(F.col("sup").alias("n")))
+        .dropDuplicates()
+    )
+    anc = c.unionByName(nodes.select(F.col("n").alias("sub"), F.col("n").alias("sup")))
+    hit_a = anc.join(
+        F.broadcast(disjoints), anc["sup"] == disjoints["a"]
+    ).select(F.col("sub").alias("cls"), "a", "b")
+    hit_b = anc.select(F.col("sub").alias("cls2"), F.col("sup").alias("anc2"))
+    return (
+        hit_a.join(
+            hit_b,
+            (hit_a["cls"] == hit_b["cls2"]) & (hit_a["b"] == hit_b["anc2"]),
+            "leftsemi",
+        )
+        .select("cls")
+        .dropDuplicates()
+    )

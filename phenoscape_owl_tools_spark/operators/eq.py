@@ -116,3 +116,31 @@ def eq_structure_edges(composed: DataFrame) -> DataFrame:
         iri_fn.restriction_class_iri(F.lit(vocab.PHENOTYPE_OF), F.col("entity")).alias("sup"),
     )
     return hp_q.unionByName(phen_e).dropDuplicates()
+
+
+def eq_grid(entities: DataFrame, qualities: DataFrame) -> DataFrame:
+    """J11 — entity x quality cross product of composed EQ classes
+    (MatrixGenerator.scala:50-57, EQCharactersGenerator.scala:18-25,
+    EQCreator.scala:42-45). Bounded dimension tables -> plain crossJoin;
+    the reference needs 200 GB for this in-memory (EQCreator.scala:16),
+    here it is a streamed cartesian projection."""
+    e = entities.select(F.col("iri").alias("entity")).dropDuplicates()
+    q = qualities.select(F.col("iri").alias("quality")).dropDuplicates()
+    composed = e.crossJoin(q).withColumn(
+        "canonical_expr",
+        _canon(
+            F.lit("has_part some ("), F.col("quality"),
+            F.lit("and inheres_in some"), F.col("entity"), F.lit(")"),
+        ),
+    )
+    return composed.withColumn(
+        "phenotype_cls", iri_fn.expression_iri(F.col("canonical_expr"))
+    )
+
+
+def surviving_subsumers(grid: DataFrame, cooccurrence: DataFrame) -> DataFrame:
+    """J12 — generate-and-test (SubsumerGenerator.scala:44-74): keep proposed
+    EQ classes with at least one instance — here, (entity, quality) pairs
+    attested by document co-occurrence. The test is one left-semi join per
+    generation round (the reference's getSubClasses probe)."""
+    return grid.join(cooccurrence, on=["entity", "quality"], how="leftsemi")
