@@ -47,11 +47,20 @@ def _docs(spark, sf_dir):
 
 
 def _detected_mentions(spark, sf_dir) -> DataFrame:
-    """Real extraction path: span docs + broadcast-trie UDF."""
+    """Real extraction path: span docs + broadcast-trie UDF.
+
+    Materialized once (localCheckpoint): several queries reference the
+    mention relation from multiple plan branches (taxa x anatomy
+    co-occurrence, canonicalization, instance closure) and DataFrame plans
+    have no subtree reuse — without this the extraction UDF would run once
+    per branch. The KB pipeline writes this stage as a table for the same
+    reason (plans/kb_build.py)."""
     flat = _docs(spark, sf_dir)
     spans = KG.span_documents(flat)
     dictionary = KG.terms(flat).select(F.col("label").alias("surface"), "iri")
-    return mention_op.detect_mentions(spark, spans, dictionary)
+    return mention_op.detect_mentions(spark, spans, dictionary).localCheckpoint(
+        eager=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1319,10 +1328,17 @@ SELECT doc_id, {_sim_cat} AS simhash FROM bits
 """
 
 
-SQL_COS = """round(
-  list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS double) * CAST({b}[i] AS double)))
-  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS double) * CAST({a}[i] AS double))))
-   * sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> CAST({b}[i] AS double) * CAST({b}[i] AS double))))), 6)"""
+# Unit-vector formulation, mirrored exactly by the Spark side
+# (dedup.unit_vector_col + dot_col): normalize each vector once in double
+# math, then every pairwise cosine is a single sequential-fold dot product.
+SQL_UNITS_CTE = """
+units AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)
+    / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS double) * CAST(y AS double))))) AS u
+  FROM embeddings
+)"""
+
+SQL_DOT = "round(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), 6)"
 
 
 def q_dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
@@ -1332,10 +1348,11 @@ def q_dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
 
 
 SQL_DEDUP_EMBEDDING = f"""
+WITH {SQL_UNITS_CTE}
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         {SQL_DOT.format(a="a.u", b="b.u")} AS cos
+  FROM units a JOIN units b ON a.vec_id < b.vec_id
 ) WHERE cos >= 0.4
 """
 
@@ -1356,11 +1373,12 @@ def q_ann_cosine_topk(spark, sf_dir) -> DataFrame:
 
 
 SQL_ANN_COSINE_TOPK = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
+WITH {SQL_UNITS_CTE},
+q AS (SELECT vec_id AS query_id, u AS qe FROM units WHERE vec_id < 16),
 scored AS (
   SELECT query_id, c.vec_id AS neighbor_id,
-         {SQL_COS.format(a="qe", b="c.embedding")} AS cos
-  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+         {SQL_DOT.format(a="qe", b="c.u")} AS cos
+  FROM q JOIN units c ON c.vec_id <> q.query_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
 SELECT query_id, neighbor_id, cos, CAST(rn AS integer) AS rnk FROM r WHERE rn <= 5
@@ -1383,16 +1401,18 @@ _sql_bucket = " || ".join(
 )
 
 SQL_ANN_LSH_TOPK = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe, {_sql_bucket.format(e="embedding")} AS bucket
-  FROM embeddings WHERE vec_id < 16
+WITH {SQL_UNITS_CTE},
+b AS (SELECT vec_id, {_sql_bucket.format(e="embedding")} AS bucket FROM embeddings),
+q AS (
+  SELECT u.vec_id AS query_id, u.u AS qe, b.bucket
+  FROM units u JOIN b ON u.vec_id = b.vec_id WHERE u.vec_id < 16
 ),
 c AS (
-  SELECT vec_id AS neighbor_id, embedding AS ce, {_sql_bucket.format(e="embedding")} AS bucket
-  FROM embeddings
+  SELECT u.vec_id AS neighbor_id, u.u AS ce, b.bucket
+  FROM units u JOIN b ON u.vec_id = b.vec_id
 ),
 scored AS (
-  SELECT query_id, neighbor_id, {SQL_COS.format(a="qe", b="ce")} AS cos
+  SELECT query_id, neighbor_id, {SQL_DOT.format(a="qe", b="ce")} AS cos
   FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)

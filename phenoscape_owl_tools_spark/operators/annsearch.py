@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from phenoscape_owl_tools_spark.operators.dedup import cosine_col
+from phenoscape_owl_tools_spark.operators.dedup import dot_col, unit_vector_col
 
 
 def brute_force_topk(
@@ -36,10 +36,13 @@ def brute_force_topk(
     ``queries``: (query_id, embedding). Returns
     (query_id, neighbor_id, cos, rank), rank 1..k by (cos desc, neighbor_id)
     — the deterministic tie-break keeps results partitioning-independent.
-    Self-matches (same id) are excluded.
+    Self-matches (same id) are excluded. Both sides are normalized once so
+    each scored pair is a single array fold.
     """
-    q = queries.select(F.col("query_id"), F.col("embedding").alias("qe"))
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    q = queries.select(F.col("query_id"), unit_vector_col(F.col("embedding")).alias("qe"))
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), unit_vector_col(F.col("embedding")).alias("ce")
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -47,7 +50,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos"),
+            F.round(dot_col(F.col("qe"), F.col("ce")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -84,12 +87,12 @@ def bucket_lsh_topk(
     """
     q = queries.select(
         "query_id",
-        F.col("embedding").alias("qe"),
+        unit_vector_col(F.col("embedding")).alias("qe"),
         sign_bucket(F.col("embedding"), dims).alias("bucket"),
     )
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
+        unit_vector_col(F.col("embedding")).alias("ce"),
         sign_bucket(F.col("embedding"), dims).alias("bucket"),
     )
     scored = (
@@ -99,7 +102,7 @@ def bucket_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos"),
+            F.round(dot_col(F.col("qe"), F.col("ce")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

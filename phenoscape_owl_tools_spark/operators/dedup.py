@@ -129,7 +129,7 @@ def ngram_jaccard_pairs(
     every surviving pair shares at least one rare shingle — the standard
     recall/cost trade documented at call sites).
     """
-    shingles = word_shingles(documents, n)
+    shingles = word_shingles(documents, n).localCheckpoint(eager=True)
     probe = shingles
     if max_doc_freq is not None:
         rare = (
@@ -211,8 +211,13 @@ def minhash_lsh_dedup(
 
     Returns (doc_a, doc_b, jaccard) for verified near-dup pairs.
     """
-    shingles = word_shingles(documents, n)
-    sig = minhash_signatures(shingles, k)
+    # Materialize the shared subtrees once: the band split references the
+    # signature relation 2 x k/rows_per_band times and the verify stage
+    # re-reads shingles — without a checkpoint Spark recomputes the scan +
+    # shingling per reference (DataFrame plans have no CTE reuse). At scale
+    # these are the stage tables the pipeline writes anyway.
+    shingles = word_shingles(documents, n).localCheckpoint(eager=True)
+    sig = minhash_signatures(shingles, k).localCheckpoint(eager=True)
     cand = lsh_candidates(lsh_bands(sig, k, rows_per_band))
     return _verified_jaccard(cand, shingles, threshold)
 
@@ -271,15 +276,29 @@ def simhash_dup_groups(documents: DataFrame, bits: int = 8) -> DataFrame:
 # embedding-cosine near-dup (brute-force verification baseline)
 # ---------------------------------------------------------------------------
 
+def unit_vector_col(e) -> F.Column:
+    """array<float> -> L2-normalized array<double>.
+
+    Precomputing unit vectors turns every pairwise cosine into ONE dot
+    product — at n^2 pairs this removes 2 of 3 per-pair array folds (the
+    higher-order functions are interpreted per element, so this is the
+    difference between O(n^2 * d) and O(3 n^2 * d) lambda evaluations).
+    """
+    ed = F.transform(e, lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(F.transform(ed, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return F.transform(ed, lambda x: x / nrm)
+
+
+def dot_col(a, b) -> F.Column:
+    """Dot product of two array<double> columns (sequential fold, JVM-side)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def cosine_col(a, b) -> F.Column:
     """Cosine similarity between two array<float> columns, in double math:
-    zip_with product + aggregate fold — JVM-side, no UDF."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    zip_with product + aggregate fold — JVM-side, no UDF. Prefer
+    ``unit_vector_col`` + ``dot_col`` when one side is reused across pairs."""
+    return dot_col(unit_vector_col(a), unit_vector_col(b))
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
@@ -287,17 +306,21 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
 
     Brute-force O(n^2) — the oracle/verification baseline. At scale, run
     ``annsearch.bucket_lsh_topk`` to generate candidates and verify those
-    pairs only.
+    pairs only. Unit vectors are materialized once per side so each pair
+    costs a single array fold.
     """
-    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    units = embeddings.select(
+        "vec_id", unit_vector_col(F.col("embedding")).alias("u")
+    ).localCheckpoint(eager=True)
+    a = units.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = units.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cos"),
+            F.round(dot_col(F.col("ua"), F.col("ub")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
