@@ -110,3 +110,64 @@ def bucket_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+MATMUL_SCHEMA = "query_id long, neighbor_id long, cos double, rank int"
+
+
+def matmul_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the dense-vector
+    fast path (one BLAS GEMM per corpus batch instead of per-pair array
+    folds; ~10-100x the interpreted higher-order-function route).
+
+    The (small) query matrix broadcasts to every executor; the corpus
+    streams through ``mapInPandas`` partition-by-partition, each batch
+    scoring against all queries at once and emitting only its local top-k
+    candidates. A final window over (queries x per-partition candidates)
+    yields the global top-k — identical results to :func:`brute_force_topk`
+    (same double math, same (cos desc, neighbor_id) tie-break).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    spark = embeddings.sparkSession
+    q_rows = queries.select("query_id", "embedding").collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm_ @ cm.T  # (n_queries, batch)
+            out = {"query_id": [], "neighbor_id": [], "cos": [], "rank": []}
+            top = min(k, sims.shape[1])
+            for qi in range(len(qids_)):
+                row = np.round(sims[qi], 6)
+                mask = nids != qids_[qi]
+                cand_ids, cand_cos = nids[mask], row[mask]
+                # local top-k: sort by (-cos, neighbor_id) for determinism
+                order = np.lexsort((cand_ids, -cand_cos))[:top]
+                out["query_id"].extend([qids_[qi]] * len(order))
+                out["neighbor_id"].extend(cand_ids[order])
+                out["cos"].extend(cand_cos[order])
+                out["rank"].extend([0] * len(order))
+            yield pd.DataFrame(out)
+
+    local = embeddings.select("vec_id", "embedding").mapInPandas(run, MATMUL_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -71,3 +71,20 @@ def test_bucket_lsh_is_bucket_restricted_brute_force(spark, emb):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         cos = [r["cos"] for r in rows]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_matmul_topk_matches_brute_force(spark, emb):
+    from pyspark.sql import functions as FF
+
+    queries = emb.where(FF.col("vec_id") < 8).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = annsearch.brute_force_topk(emb, queries, k=5).collect()
+    mm = annsearch.matmul_topk(emb, queries, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    bf_s, mm_s = sorted(bf, key=key), sorted(mm, key=key)
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in bf_s] == [
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in mm_s
+    ]
+    for a, b in zip(bf_s, mm_s):
+        assert a["cos"] == pytest.approx(b["cos"], abs=2e-6)
