@@ -1643,6 +1643,71 @@ WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
 """
 
 
+def q_events_sessions(spark, sf_dir) -> DataFrame:
+    """Batch sessionization: 30-min gap rule via lag + running sum (the
+    streaming twin is streaming/ingest.sessionize_stream)."""
+    ev = KG.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    is_new = F.when(
+        F.lag(sec).over(w).isNull() | ((sec - F.lag(sec).over(w)) > 1800), 1
+    ).otherwise(0)
+    sess = ev.withColumn("s", F.sum(is_new).over(w))
+    return sess.groupBy("user_id", "s").agg(
+        F.date_format(F.min(F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "session_start", "n_events")
+
+
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, epoch(ts) AS sec,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS s
+  FROM o
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM m GROUP BY user_id, s
+"""
+
+
+def q_events_json(spark, sf_dir) -> DataFrame:
+    ev = KG.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS bigint) AS k FROM events
+"""
+
+
+def q_events_user_stats(spark, sf_dir) -> DataFrame:
+    ev = KG.load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value") + F.lit(0.0), 4).alias("avg_value"),
+        F.round(F.max("value") + F.lit(0.0), 2).alias("max_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+SQL_EVENTS_USER_STATS = """
+SELECT user_id, count(*) AS n, round(avg(value) + 0.0, 4) AS avg_value,
+       round(max(value) + 0.0, 2) AS max_value,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+"""
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     ev = KG.load(spark, sf_dir, "events")
     return (
@@ -1728,6 +1793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_json": q_events_json,
+        "events_user_stats": q_events_user_stats,
     }
 
 
@@ -1787,4 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q6": SQL_TPCH_Q6,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_json": SQL_EVENTS_JSON,
+        "events_user_stats": SQL_EVENTS_USER_STATS,
     }

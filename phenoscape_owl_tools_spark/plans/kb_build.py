@@ -41,6 +41,7 @@ from phenoscape_owl_tools_spark.operators import (
     mention,
     negation,
     profiles as profiles_op,
+    salting,
 )
 
 TBOX_PROPERTIES = [
@@ -229,12 +230,41 @@ def build_tbox(inputs: KBInputs) -> dict[str, DataFrame]:
     }
 
 
+def _taxon_phenotypes(exhibits: DataFrame, describes: DataFrame) -> DataFrame:
+    """exhibits(taxon, state) x describes(state, phenotype) -> (taxon, phenotype)."""
+    ex = exhibits.select(F.col("subj").alias("taxon"), F.col("obj").alias("state"))
+    de = describes.select(F.col("subj").alias("state2"), F.col("obj").alias("phenotype"))
+    return ex.join(de, ex["state"] == de["state2"]).select("taxon", "phenotype")
+
+
+def _phenotype_ancestors(tx_ph: DataFrame, closure: DataFrame, salt: int | None) -> DataFrame:
+    """Reflexive ancestor expansion of (taxon, phenotype) through the
+    closure — the hub-skew join of the presence/absence path: a handful of
+    hot phenotype classes appear in a large fraction of documents, so the
+    probe side is salted and the closure (dim) side exploded
+    (operators/salting.py; salt factor auto-chosen from the key histogram
+    when ``salt is None`` and recorded by the caller's manifest).
+    """
+    cl = closure.select(F.col("sub").alias("cl_sub"), F.col("sup").alias("cl_sup"))
+    if salt is None:
+        salt = salting.choose_salt_factor(tx_ph, "phenotype")
+    joined = salting.salted_join(tx_ph, cl, "phenotype", "cl_sub", salt, "left")
+    return (
+        joined.select(
+            "taxon", F.coalesce(F.col("cl_sup"), F.col("phenotype")).alias("cls")
+        )
+        .unionByName(tx_ph.select("taxon", F.col("phenotype").alias("cls")))
+        .dropDuplicates()
+    )
+
+
 def presence_query(
     exhibits: DataFrame,
     describes: DataFrame,
     closure: DataFrame,
     anatomy_under_root: DataFrame,
     taxa_under_root: DataFrame,
+    salt: int | None = None,
 ) -> DataFrame:
     """J4 — the flagship CONSTRUCT (PhenoscapeKB.scala:380-389):
 
@@ -248,16 +278,8 @@ def presence_query(
     filler we resolve via the restriction definitions carried in
     ``anatomy_under_root`` probes (passed as (cls, entity) pairs).
     """
-    # exhibits: (taxon, state); describes: (state, phenotype)
-    ex = exhibits.select(F.col("subj").alias("taxon"), F.col("obj").alias("state"))
-    de = describes.select(F.col("subj").alias("state2"), F.col("obj").alias("phenotype"))
-    tx_ph = ex.join(de, ex["state"] == de["state2"]).select("taxon", "phenotype")
-    # reflexive closure hop: phenotype itself may be the presence class
-    ph_anc = tx_ph.join(
-        closure, tx_ph["phenotype"] == closure["sub"], "left"
-    ).select("taxon", F.coalesce(closure["sup"], tx_ph["phenotype"]).alias("cls")).unionByName(
-        tx_ph.select("taxon", F.col("phenotype").alias("cls"))
-    ).dropDuplicates()
+    tx_ph = _taxon_phenotypes(exhibits, describes)
+    ph_anc = _phenotype_ancestors(tx_ph, closure, salt)
     hit = ph_anc.join(
         F.broadcast(anatomy_under_root), ph_anc["cls"] == anatomy_under_root["presence_cls"]
     ).select("taxon", "entity")
@@ -275,16 +297,11 @@ def absence_query(
     closure: DataFrame,
     absence_classes_df: DataFrame,
     taxa_under_root: DataFrame,
+    salt: int | None = None,
 ) -> DataFrame:
     """J5 — same path through ABSENCE_OF (PhenoscapeKB.scala:391-396)."""
-    ex = exhibits.select(F.col("subj").alias("taxon"), F.col("obj").alias("state"))
-    de = describes.select(F.col("subj").alias("state2"), F.col("obj").alias("phenotype"))
-    tx_ph = ex.join(de, ex["state"] == de["state2"]).select("taxon", "phenotype")
-    ph_anc = tx_ph.join(
-        closure, tx_ph["phenotype"] == closure["sub"], "left"
-    ).select("taxon", F.coalesce(closure["sup"], tx_ph["phenotype"]).alias("cls")).unionByName(
-        tx_ph.select("taxon", F.col("phenotype").alias("cls"))
-    ).dropDuplicates()
+    tx_ph = _taxon_phenotypes(exhibits, describes)
+    ph_anc = _phenotype_ancestors(tx_ph, closure, salt)
     hit = ph_anc.join(
         F.broadcast(absence_classes_df), ph_anc["cls"] == absence_classes_df["absence_cls"]
     ).select("taxon", "entity")

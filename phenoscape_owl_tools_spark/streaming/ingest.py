@@ -1,0 +1,197 @@
+"""Structured Streaming: incremental document ingest + stateful event ops.
+
+The reference pipeline is batch-only (SLURM step DAG, SURVEY.md §2.10); the
+engine adds the incremental path the same extraction logic supports for
+free: the mention-detection `mapInPandas` stage is stateless and map-only,
+so it runs unchanged under `readStream` — a new batch of documents becomes
+new triples without recomputing the corpus.
+
+Patterns demonstrated (all locally testable with `Trigger.AvailableNow`):
+
+- **Incremental extraction sink**: `foreachBatch` writing one idempotent
+  partition per micro-batch (`batch=<id>`); a retried batch overwrites its
+  own partition — exactly-once at the file-sink level, the same contract
+  Iceberg commits give in production.
+- **Watermarked windowed aggregation**: event-time hourly rollup with late
+  data bounded by the watermark.
+- **Custom stateful operator** (`applyInPandasWithState`): session-gap
+  detection whose open session survives across micro-batches in the state
+  store.
+
+The closure fixpoint stays batch-incremental (it is iterative; Structured
+Streaming cannot express it) — new mention triples land continuously and
+closure/materialize runs per checkpointed stage boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from phenoscape_owl_tools_spark.operators import mention as mention_op
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of span documents (new files = new documents)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_mention_triples(
+    spark: SparkSession,
+    documents_stream: DataFrame,
+    dictionary: DataFrame,
+    predicate: str,
+) -> DataFrame:
+    """The batch extraction stage, unchanged, on a streaming DataFrame.
+
+    No per-stream dedup state: each micro-batch deduplicates internally in
+    the sink (idempotent batch partition); global dedup belongs to the
+    downstream batch materialize, as unbounded dropDuplicates state would
+    grow with the corpus.
+    """
+    mentions = mention_op.detect_mentions(spark, documents_stream, dictionary)
+    return mentions.select(
+        F.col("doc_id").alias("subj"),
+        F.lit(predicate).alias("pred"),
+        F.col("term").alias("obj"),
+    )
+
+
+def run_incremental_ingest(
+    spark: SparkSession,
+    documents_path: str,
+    schema,
+    dictionary: DataFrame,
+    predicate: str,
+    out_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available document files into per-batch triple partitions.
+
+    `foreachBatch` + `partition=batch` overwrite = idempotent under retry;
+    resume is the stream checkpoint (processed files are not re-read).
+    """
+    docs = read_document_stream(spark, documents_path, schema, max_files_per_trigger)
+    triples = streaming_mention_triples(spark, docs, dictionary, predicate)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.dropDuplicates()
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch={batch_id}")
+        )
+
+    (
+        triples.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed rollup with bounded late-data state.
+
+    ``ts`` is cast to (tz-aware) TIMESTAMP: watermarks reject
+    TIMESTAMP_NTZ, and the session timezone is pinned to UTC by
+    ``session.get_spark`` so the cast is deterministic.
+    """
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("session_end", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.DoubleType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: float,
+):
+    """Per-user session-gap fold; the open session persists in ``state``
+    across micro-batches (the cross-batch continuation is the point)."""
+    (user_id,) = key
+    ts = sorted(t for pdf in pdfs for t in pdf["ts_sec"])
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+    closed = []
+    for t in ts:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_seconds:
+            closed.append((user_id, start, last, n, True))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    if start is not None:
+        state.update((start, last, n))
+        open_row = [(user_id, start, last, n, False)]
+    else:
+        open_row = []
+    yield pd.DataFrame(
+        closed + open_row,
+        columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Custom stateful operator: session-gap detection via
+    ``applyInPandasWithState`` (update mode). Emits closed sessions as they
+    close plus the current open session per user each batch.
+    """
+    with_sec = events_stream.select(
+        "user_id", F.unix_timestamp("ts").cast("double").alias("ts_sec")
+    )
+    return with_sec.groupBy("user_id").applyInPandasWithState(
+        lambda key, pdfs, state: _sessionize_group(key, pdfs, state, gap_seconds),
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

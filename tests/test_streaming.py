@@ -1,0 +1,127 @@
+"""Structured Streaming: incremental extraction equals batch extraction;
+watermarked windowed rollup; cross-batch stateful sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from phenoscape_owl_tools_spark.operators import mention as mention_op
+from phenoscape_owl_tools_spark.sources import tpch_kg as KG
+from phenoscape_owl_tools_spark.streaming import ingest
+
+from tests.conftest import SF001
+
+
+def test_incremental_ingest_equals_batch(spark, tmp_path):
+    flat = KG.load(spark, SF001, "documents")
+    spans = KG.span_documents(flat)
+    dictionary = KG.terms(flat).select(F.col("label").alias("surface"), "iri")
+
+    # two file chunks = at least two discoverable input files
+    in_dir = tmp_path / "docs_in"
+    spans.where(F.col("doc_id").cast("long") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    spans.where(F.col("doc_id").cast("long") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    out = tmp_path / "triples_out"
+    ingest.run_incremental_ingest(
+        spark, str(in_dir), spans.schema, dictionary, "mentions",
+        str(out), str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(str(out)).select("subj", "pred", "obj").dropDuplicates()
+    batch = mention_op.mention_triples(
+        mention_op.detect_mentions(spark, spans, dictionary), "mentions"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    # checkpoint resume: rerunning with no new files adds nothing
+    ingest.run_incremental_ingest(
+        spark, str(in_dir), spans.schema, dictionary, "mentions",
+        str(out), str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    again = spark.read.parquet(str(out)).select("subj", "pred", "obj").dropDuplicates()
+    assert again.count() == got.count()
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    events = KG.load(spark, SF001, "events")
+    in_dir = tmp_path / "ev_in"
+    events.coalesce(2).write.mode("overwrite").parquet(str(in_dir))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(in_dir))
+    q = (
+        ingest.windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("ev_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM ev_counts").collect()
+    }
+    expect = {
+        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")).collect()
+    }
+    # watermark closes all but possibly the trailing window(s); everything
+    # emitted must match batch exactly and cover most windows
+    assert got
+    for k, v in got.items():
+        assert expect[k] == v
+    assert len(got) >= len(expect) - 4
+
+
+def test_sessionize_stream_state_spans_batches(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, user=1):
+        return Row(event_id=i, ts=base + dt.timedelta(minutes=minutes), user_id=user,
+                   event_type="click", value=1.0, props="{}")
+
+    # chunk 1: session A (0, 10 min), still open at chunk end
+    # chunk 2: 15 min (continues A), then 120 min -> closes A, opens B
+    chunk1 = [ev(0, 0), ev(1, 10)]
+    chunk2 = [ev(2, 15), ev(3, 120)]
+    in_dir = tmp_path / "sess_in"
+    spark.createDataFrame(chunk1).coalesce(1).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(chunk2).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(chunk1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        ingest.sessionize_stream(stream, gap_seconds=1800.0)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    closed = [r for r in rows if r["closed"]]
+    # exactly one closed session: started at 0, last event at minute 15
+    # (3 events, crossing the micro-batch boundary), closed by the 120-min event
+    assert len(closed) == 1
+    c = closed[0]
+    assert c["n_events"] == 3
+    assert c["session_end"] - c["session_start"] == pytest.approx(15 * 60.0)
+    # the open session B (the 120-min event) was reported as open
+    opens = [r for r in rows if not r["closed"] and r["n_events"] == 1]
+    assert any(r["session_start"] == r["session_end"] for r in opens)
