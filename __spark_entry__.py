@@ -698,6 +698,43 @@ JOIN refl y ON y.sub = x.sub AND y.sup = d.b
 """
 
 
+def q_property_chains(spark, sf_dir) -> DataFrame:
+    """C4 extension — property-chain saturation (VAHM model,
+    HomologyTableToOWLVAHM.scala:44-50): part_of transitivity plus
+    phenotype_of ∘ part_of ⊑ phenotype_of over the vocab DAG + mentions."""
+    flat = _docs(spark, sf_dir)
+    part_of = KG.subclass_edges(flat).select(
+        F.lit("part_of").alias("p"), F.col("sub").alias("s"), F.col("sup").alias("o")
+    )
+    phen = _detected_mentions(spark, sf_dir).select(
+        F.lit("phenotype_of").alias("p"),
+        F.concat(F.lit(DOC), F.col("doc_id")).alias("s"),
+        F.col("term").alias("o"),
+    ).dropDuplicates()
+    chains = [
+        ("part_of", "part_of", "part_of"),
+        ("phenotype_of", "part_of", "phenotype_of"),
+    ]
+    return closure_op.property_chain_closure(part_of.unionByName(phen), chains)
+
+
+# Both chain rules compose a derived edge with a BASE part_of edge, so the
+# whole saturation is expressible as one recursive CTE re-joining the base.
+SQL_PROPERTY_CHAINS = SQL_PREAMBLE.replace("WITH RECURSIVE", "WITH RECURSIVE ", 1) + f""",
+base AS (
+  SELECT 'part_of' AS p, sub AS s, sup AS o FROM edges
+  UNION
+  SELECT DISTINCT 'phenotype_of', '{DOC}' || doc_id, 'http://kg.example.org/term/' || w FROM words
+),
+pc(p, s, o) AS (
+  SELECT p, s, o FROM base
+  UNION
+  SELECT pc.p, pc.s, e.sup FROM pc JOIN edges e ON pc.o = e.sub
+)
+SELECT DISTINCT p, s, o FROM pc WHERE s <> o
+"""
+
+
 # --------------------------------------------------------------------------
 # negation equivalences, generators P1/P6/P9/P13
 # --------------------------------------------------------------------------
@@ -1562,6 +1599,57 @@ SELECT doc_id, media_ref, unnest(range(0, n_frames, 2)) AS frame_idx FROM h
 """
 
 
+
+
+def q_expression_labels(spark, sf_dir) -> DataFrame:
+    from phenoscape_owl_tools_spark.operators import eq as eq_op, generators
+
+    composed = eq_op.compose_eq_phenotypes(_eq_annotations(spark, sf_dir))
+    return generators.expression_labels(composed)
+
+
+SQL_EXPRESSION_LABELS = f"""
+WITH {SQL_WORDS}, {SQL_EQ_ANNOTATIONS_CTE}, {_sql_eq_composed_cte()}
+SELECT DISTINCT '{vocab.EXPRESSION_PREFIX}' || sha256(canonical_expr) AS subj,
+       '{vocab.RDFS_LABEL}' AS pred, canonical_expr AS obj
+FROM composed WHERE canonical_expr IS NOT NULL
+"""
+
+
+def q_tpch_q5(spark, sf_dir) -> DataFrame:
+    region = KG.load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = KG.load(spark, sf_dir, "nation")
+    customer = KG.load(spark, sf_dir, "customer")
+    supplier = KG.load(spark, sf_dir, "supplier")
+    orders = KG.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1994-01-01")) & (F.col("o_orderdate") < F.lit("1995-01-01"))
+    )
+    li = KG.load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, (li["l_suppkey"] == supplier["s_suppkey"])
+              & (customer["c_nationkey"] == supplier["s_nationkey"]))
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(0.0), 2).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)) + 0.0, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= '1994-01-01' AND o_orderdate < '1995-01-01'
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H anchors + events
 # --------------------------------------------------------------------------
@@ -1761,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_hierarchy": q_direct_hierarchy,
         "instance_closure": q_instance_closure,
         "unsat_classes": q_unsat_classes,
+        "property_chains": q_property_chains,
         "negation_equivalence": q_negation_equivalence,
         "normalized_predicates": q_normalized_predicates,
         "similarity_templates": q_similarity_templates,
@@ -1768,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "defined_by": q_defined_by,
         "eq_composition": q_eq_composition,
         "eq_annotation_triples": q_eq_annotation_triples,
+        "expression_labels": q_expression_labels,
         "eq_grid_survivors": q_eq_grid_survivors,
         "annotation_status": q_annotation_status,
         "sim_top_subsumers": q_sim_top_subsumers,
@@ -1791,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1823,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "direct_hierarchy": SQL_DIRECT_HIERARCHY,
         "instance_closure": SQL_INSTANCE_CLOSURE,
         "unsat_classes": SQL_UNSAT,
+        "property_chains": SQL_PROPERTY_CHAINS,
         "negation_equivalence": SQL_NEGATION_EQUIV,
         "normalized_predicates": SQL_NORMALIZED_PREDS,
         "similarity_templates": SQL_SIMILARITY_TEMPLATES,
@@ -1830,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
         "defined_by": SQL_DEFINED_BY,
         "eq_composition": SQL_EQ_COMPOSITION,
         "eq_annotation_triples": SQL_EQ_ANNOTATION_TRIPLES,
+        "expression_labels": SQL_EXPRESSION_LABELS,
         "eq_grid_survivors": SQL_EQ_GRID_SURVIVORS,
         "annotation_status": SQL_ANNOTATION_STATUS,
         "sim_top_subsumers": SQL_SIM_TOP_SUBSUMERS,
@@ -1853,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_samples": SQL_FRAME_SAMPLES,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q5": SQL_TPCH_Q5,
         "tpch_q6": SQL_TPCH_Q6,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessions": SQL_EVENTS_SESSIONS,

@@ -201,3 +201,72 @@ def unsatisfiable_classes(closure: DataFrame, disjoints: DataFrame) -> DataFrame
         .select("cls")
         .dropDuplicates()
     )
+
+
+def property_chain_closure(
+    assertions: DataFrame,
+    chains: list[tuple[str, str, str]],
+    subprops: DataFrame | None = None,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """EL property-chain saturation (SURVEY.md §7.3 extension, C4).
+
+    ``assertions(p, s, o)`` — typed edges (property assertions / existential
+    skeleton edges). ``chains`` — SubPropertyChainOf axioms as
+    (p1, p2, r): p1 ∘ p2 ⊑ r (transitivity = (p, p, p)); the shape used by
+    the reference's VAHM homology model (HomologyTableToOWLVAHM.scala:44-50)
+    and rolification demo (HomologyTableDemoRolification.scala:70-80).
+    ``subprops(sub_p, sup_p)`` — role hierarchy, applied per iteration.
+
+    Semi-naive over the typed relation: each round joins the delta on BOTH
+    chain positions against the accumulated set, so derived∘derived
+    compositions are found (a recursive CTE could only re-join the base).
+    """
+    asrt = (
+        assertions.select("p", "s", "o")
+        .where(F.col("s") != F.col("o"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    chain_df = None
+    sp = asrt.sparkSession
+    chain_df = sp.createDataFrame(chains, ["c1", "c2", "cr"]).localCheckpoint(eager=True)
+    if subprops is not None:
+        subprops = subprops.select("sub_p", "sup_p").localCheckpoint(eager=True)
+
+    def derive(delta: DataFrame, full: DataFrame) -> DataFrame:
+        # delta in position 1 against full in position 2, and vice versa
+        d1 = (
+            delta.alias("d").join(F.broadcast(chain_df), F.col("d.p") == F.col("c1"))
+            .join(full.alias("f"), (F.col("d.o") == F.col("f.s")) & (F.col("f.p") == F.col("c2")))
+            .select(F.col("cr").alias("p"), F.col("d.s").alias("s"), F.col("f.o").alias("o"))
+        )
+        d2 = (
+            delta.alias("d").join(F.broadcast(chain_df), F.col("d.p") == F.col("c2"))
+            .join(full.alias("f"), (F.col("f.o") == F.col("d.s")) & (F.col("f.p") == F.col("c1")))
+            .select(F.col("cr").alias("p"), F.col("f.s").alias("s"), F.col("d.o").alias("o"))
+        )
+        out = d1.unionByName(d2)
+        if subprops is not None:
+            out = out.unionByName(
+                delta.join(subprops, delta["p"] == subprops["sub_p"]).select(
+                    F.col("sup_p").alias("p"), "s", "o"
+                )
+            )
+        return out
+
+    full = asrt
+    delta = asrt
+    for _ in range(max_iterations):
+        new = (
+            derive(delta, full)
+            .where(F.col("s") != F.col("o"))
+            .dropDuplicates()
+            .join(full, on=["p", "s", "o"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        full = full.unionByName(new)
+        delta = new
+    return full

@@ -176,3 +176,14 @@ def normalize_properties(triples: DataFrame, pred_col: str = "pred") -> DataFram
         pairs.extend([F.lit(k), F.lit(v)])
     m = F.create_map(*pairs)
     return triples.withColumn(pred_col, F.coalesce(m[F.col(pred_col)], F.col(pred_col)))
+
+
+def expression_labels(composed: DataFrame) -> DataFrame:
+    """F7 — Manchester-syntax-style rdfs:label rendering for composed
+    expression classes (ExpressionsUtil.scala:70-83: labels are annotations,
+    not logic). Template columns only."""
+    return composed.select(
+        F.col("phenotype_cls").alias("subj"),
+        F.lit(vocab.RDFS_LABEL).alias("pred"),
+        F.col("canonical_expr").alias("obj"),
+    ).dropDuplicates()

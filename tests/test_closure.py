@@ -78,3 +78,64 @@ def test_instance_closure(spark):
     cl = closure.transitive_closure(_edges_df(spark, {("c", "b"), ("b", "a")}))
     got = {(r["individual"], r["cls"]) for r in closure.instance_closure(types, cl).collect()}
     assert got == {("i1", "c"), ("i1", "b"), ("i1", "a")}
+
+
+def _py_chain_closure(assertions, chains, subprops=()):
+    """Sequential oracle: naive fixpoint over typed edges."""
+    full = set(assertions)
+    while True:
+        new = set()
+        for (p1, p2, r) in chains:
+            left = [(s, o) for (p, s, o) in full if p == p1]
+            right = {}
+            for (p, s, o) in full:
+                if p == p2:
+                    right.setdefault(s, []).append(o)
+            for s, m in left:
+                for o in right.get(m, []):
+                    if s != o:
+                        new.add((r, s, o))
+        for (sp, qp) in subprops:
+            for (p, s, o) in list(full):
+                if p == sp:
+                    new.add((qp, s, o))
+        if new <= full:
+            return full
+        full |= new
+
+
+def test_property_chain_closure_vahm(spark):
+    # VAHM-style: homologous_to ∘ part_of, plus part_of transitivity
+    assertions = [
+        ("part_of", "digit", "hand"), ("part_of", "hand", "arm"),
+        ("part_of", "arm", "body"),
+        ("hom", "fin", "hand"),
+    ]
+    chains = [("part_of", "part_of", "part_of"), ("hom", "part_of", "hom")]
+    df = spark.createDataFrame(assertions, ["p", "s", "o"])
+    got = {
+        (r["p"], r["s"], r["o"])
+        for r in closure.property_chain_closure(df, chains).collect()
+    }
+    assert got == _py_chain_closure(assertions, chains)
+    assert ("hom", "fin", "body") in got  # needs derived∘derived composition
+    assert ("part_of", "digit", "body") in got
+
+
+def test_property_chain_closure_random_with_subprops(spark):
+    rng = random.Random(11)
+    nodes = [f"x{i}" for i in range(25)]
+    assertions = set()
+    for _ in range(60):
+        p = rng.choice(["p", "q"])
+        a, b = rng.sample(nodes, 2)
+        assertions.add((p, a, b))
+    chains = [("p", "p", "p"), ("q", "p", "q")]
+    subprops = [("q", "p")]
+    df = spark.createDataFrame(sorted(assertions), ["p", "s", "o"])
+    sp = spark.createDataFrame(subprops, ["sub_p", "sup_p"])
+    got = {
+        (r["p"], r["s"], r["o"])
+        for r in closure.property_chain_closure(df, chains, subprops=sp).collect()
+    }
+    assert got == _py_chain_closure(assertions, chains, subprops)
