@@ -44,6 +44,9 @@ HEADLINE = [
     "homology_axioms",
     "pairwise_similarity",
     "gene_profiles",
+    "eq_composition",
+    "property_chains",
+    "events_sessions",
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
