@@ -1,0 +1,43 @@
+"""Iteration barrier for driver-loop fixpoints (closure, connected
+components, chain saturation).
+
+Why not ``localCheckpoint``/``checkpoint``: measured on Spark 4.1.2, a loop
+whose iteration k+1 derives from iteration k's *checkpointed* frame shows
+per-task wall time doubling every iteration after ~13 rounds (constant
+2 jobs / 6 stages / 48 tasks, same 20k-row data — see BENCH.md §5), for
+eager local AND reliable checkpoints, with AQE on or off. Only a genuine
+write+re-read breaks the growth: a parquet round-trip yields a frame whose
+plan and RDD graph reference nothing from the producing query.
+
+That is exactly the "checkpointed stage boundary" the north rule requires
+anyway — in production these barriers are Iceberg table writes; locally
+they are parquet files in a session temp dir (cleaned at exit).
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+class IterationBarrier:
+    """Materialize a DataFrame to parquet and return the re-read frame.
+
+    One instance per fixpoint invocation; files live until process exit
+    (results returned to the caller keep referencing the final iteration's
+    files), directory is removed by an ``atexit`` hook.
+    """
+
+    def __init__(self, name: str = "iter"):
+        self.root = tempfile.mkdtemp(prefix=f"sparkgraft_{name}_")
+        self._seq = 0
+        atexit.register(shutil.rmtree, self.root, True)
+
+    def __call__(self, df: DataFrame, tag: str = "step") -> DataFrame:
+        path = f"{self.root}/{tag}_{self._seq}"
+        self._seq += 1
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)

@@ -59,12 +59,18 @@ def transitive_closure(
     emit (R1 subClassOf R2). Mirrors what ELK derives from
     NamedRestrictionGenerator axioms (NamedRestrictionGenerator.scala:33-43).
     """
-    edges = _edges(edges).dropDuplicates().localCheckpoint(eager=True)
+    from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
+
+    barrier = IterationBarrier("closure")
+    edges = barrier(_edges(edges).dropDuplicates(), "edges")
 
     if restrictions is not None:
-        r1 = restrictions.select(
-            F.col("prop").alias("r_prop"), F.col("filler").alias("r_filler"), F.col("iri").alias("r_iri")
-        ).localCheckpoint(eager=True)
+        r1 = barrier(
+            restrictions.select(
+                F.col("prop").alias("r_prop"), F.col("filler").alias("r_filler"), F.col("iri").alias("r_iri")
+            ),
+            "restrictions",
+        )
 
     def monotonicity(delta: DataFrame) -> DataFrame:
         if restrictions is None:
@@ -80,16 +86,16 @@ def transitive_closure(
             (lhs["m_prop"] == r2["m_prop2"]) & (lhs["m_sup_filler"] == r2["m_filler2"]),
         ).select(F.col("m_sub").alias("sub"), F.col("m_iri2").alias("sup"))
 
-    # The closure accumulates as a union of already-checkpointed deltas: each
-    # branch is a materialized LogicalRDD, so plan depth stays bounded by the
-    # iteration count (~graph diameter) without re-checkpointing the union.
-    # (Re-checkpointing a union of checkpointed frames also trips a Spark
-    # 4.1 AttributeMap bug — see tests/test_closure.py.)
+    # The closure accumulates as a union of barrier-materialized deltas:
+    # every branch is an independent parquet scan (iterbarrier.py — plain
+    # checkpoints leak per-task state that doubles task time per iteration
+    # on Spark 4.1), so plan depth stays bounded by the iteration count
+    # (~graph diameter).
     closure = edges
     delta = edges
     first_mono = monotonicity(edges)
     if first_mono is not None:
-        delta = delta.unionByName(first_mono).dropDuplicates().localCheckpoint(eager=True)
+        delta = barrier(delta.unionByName(first_mono).dropDuplicates(), "delta")
         closure = delta
 
     for _ in range(max_iterations):
@@ -101,11 +107,11 @@ def transitive_closure(
         mono = monotonicity(delta)
         if mono is not None:
             step = step.unionByName(mono)
-        new = (
+        new = barrier(
             step.where(F.col("sub") != F.col("sup"))
             .dropDuplicates()
-            .join(closure, on=["sub", "sup"], how="left_anti")
-            .localCheckpoint(eager=True)
+            .join(closure, on=["sub", "sup"], how="left_anti"),
+            "delta",
         )
         if new.isEmpty():
             break
@@ -222,17 +228,19 @@ def property_chain_closure(
     chain positions against the accumulated set, so derived∘derived
     compositions are found (a recursive CTE could only re-join the base).
     """
-    asrt = (
+    from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
+
+    barrier = IterationBarrier("chains")
+    asrt = barrier(
         assertions.select("p", "s", "o")
         .where(F.col("s") != F.col("o"))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .dropDuplicates(),
+        "assertions",
     )
-    chain_df = None
     sp = asrt.sparkSession
-    chain_df = sp.createDataFrame(chains, ["c1", "c2", "cr"]).localCheckpoint(eager=True)
+    chain_df = sp.createDataFrame(chains, ["c1", "c2", "cr"])
     if subprops is not None:
-        subprops = subprops.select("sub_p", "sup_p").localCheckpoint(eager=True)
+        subprops = barrier(subprops.select("sub_p", "sup_p"), "subprops")
 
     def derive(delta: DataFrame, full: DataFrame) -> DataFrame:
         # delta in position 1 against full in position 2, and vice versa
@@ -258,12 +266,12 @@ def property_chain_closure(
     full = asrt
     delta = asrt
     for _ in range(max_iterations):
-        new = (
+        new = barrier(
             derive(delta, full)
             .where(F.col("s") != F.col("o"))
             .dropDuplicates()
-            .join(full, on=["p", "s", "o"], how="left_anti")
-            .localCheckpoint(eager=True)
+            .join(full, on=["p", "s", "o"], how="left_anti"),
+            "delta",
         )
         if new.isEmpty():
             break

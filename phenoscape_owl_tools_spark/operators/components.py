@@ -26,41 +26,66 @@ def connected_components(
     Returns ``(node, component)``; isolated nodes absent from ``edges`` are
     their own representatives by convention (callers coalesce).
     """
-    und = (
+    from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
+
+    barrier = IterationBarrier("cc")
+    und = barrier(
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .unionByName(edges.select(F.col(b).alias("x"), F.col(a).alias("y")))
         .where(F.col("x").isNotNull() & F.col("y").isNotNull())
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .dropDuplicates(),
+        "und",
     )
-    labels = (
+    labels = barrier(
         und.select(F.col("x").alias("node"))
         .dropDuplicates()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        "labels",
     )
 
+    converged = False
     for _ in range(max_iterations):
+        # hook: component = min(own, neighbors' components) — one hop
         neighbor_min = (
             und.join(labels, und["y"] == labels["node"])
             .groupBy(F.col("x").alias("node2"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
-            .select(
+        hooked = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["node2"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("old_component"),
+        )
+        # pointer doubling (the hash-to-min accelerant): component :=
+        # component(component). Label distance to the component min doubles
+        # per round, so long-diameter components converge in O(log d)
+        # instead of O(d) one-hop rounds.
+        ptr = hooked.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        updated = barrier(
+            hooked.join(ptr, hooked["component"] == ptr["p_node"], "left").select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
-                F.col("component").alias("old_component"),
-            )
-            .localCheckpoint(eager=True)
+                "old_component",
+            ),
+            "labels",
         )
-        changed = updated.where(F.col("component") != F.col("old_component")).isEmpty()
+        stable = updated.where(F.col("component") != F.col("old_component")).isEmpty()
         labels = updated.select("node", "component")
-        if changed:
+        if stable:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
     return labels
 
 

@@ -33,3 +33,28 @@ def test_canonicalize_triples(spark):
         for r in components.canonicalize_triples(triples, comp).collect()
     }
     assert got == {("a", "p", "x"), ("x", "p", "a")}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 2000-node path graph: one-hop propagation would need ~2000 rounds;
+    pointer doubling must finish within ~16."""
+    n = 2000
+    edges = [(f"v{i:05d}", f"v{i+1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    from phenoscape_owl_tools_spark.operators.components import connected_components
+
+    labels = connected_components(df, max_iterations=16)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert len(got) == n
+    assert set(got.values()) == {"v00000"}
+
+
+def test_unconverged_raises(spark):
+    n = 300
+    edges = [(f"v{i:05d}", f"v{i+1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    from phenoscape_owl_tools_spark.operators.components import connected_components
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=2)
