@@ -887,6 +887,62 @@ FROM obo
 """
 
 
+def q_class_assertions(spark, sf_dir) -> DataFrame:
+    """P14 — skolemized instantiation of `has_part some (inheres_in some Q)`
+    per anatomy term, with content-hash individuals."""
+    from phenoscape_owl_tools_spark.operators import generators
+
+    anatomy = KG.terms(_docs(spark, sf_dir)).where(F.col("namespace") == "anatomy")
+    expressions = anatomy.select(
+        F.col("iri").alias("root_individual"),
+        F.lit(vocab.HAS_PART).alias("prop"),
+        F.lit(vocab.INHERES_IN).alias("inner_prop"),
+        F.lit(KG.NS_ROOT + "quality").alias("filler"),
+    )
+    return generators.instantiate_class_assertions(expressions)
+
+
+_MINT = "http://purl.org/phenoscape/minted/ind/"
+
+SQL_CLASS_ASSERTIONS = f"""
+WITH {SQL_WORDS}, {SQL_VOCAB},
+anat AS (SELECT 'http://kg.example.org/term/' || w AS root FROM vocab WHERE ns = 'anatomy'),
+sk AS (
+  SELECT root,
+    '{_MINT}' || sha256('ind ' || root || ' {vocab.HAS_PART}') AS sk1,
+    '{_MINT}' || sha256('ind ' || root || ' {vocab.HAS_PART} {vocab.INHERES_IN}') AS sk2
+  FROM anat
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT root AS subj, '{vocab.HAS_PART}' AS pred, sk1 AS obj FROM sk
+  UNION ALL SELECT sk1, '{vocab.INHERES_IN}', sk2 FROM sk
+  UNION ALL SELECT sk2, '{vocab.RDF_TYPE}', '{KG.NS_ROOT}quality' FROM sk
+)
+"""
+
+
+def q_tbox_stats(spark, sf_dir) -> DataFrame:
+    """A9 — class/axiom counts (PhenoscapeKB.scala:308-309), lineage metrics."""
+    flat = _docs(spark, sf_dir)
+    terms = KG.terms(flat)
+    edges = KG.subclass_edges(flat)
+    return (
+        terms.agg(F.count("*").alias("v")).select(F.lit("n_terms").alias("metric"), F.col("v").alias("value"))
+        .unionByName(edges.agg(F.count("*").alias("v")).select(F.lit("n_subclass_edges").alias("metric"), F.col("v").alias("value")))
+        .unionByName(edges.agg(F.countDistinct("sup").alias("v")).select(F.lit("n_superclasses").alias("metric"), F.col("v").alias("value")))
+        .unionByName(terms.agg(F.countDistinct("namespace").alias("v")).select(F.lit("n_namespaces").alias("metric"), F.col("v").alias("value")))
+    )
+
+
+SQL_TBOX_STATS = f"""
+WITH {SQL_WORDS}, {SQL_VOCAB}, {SQL_EDGES}
+SELECT 'n_terms' AS metric, count(*) AS value FROM vocab
+UNION ALL SELECT 'n_subclass_edges', count(*) FROM edges
+UNION ALL SELECT 'n_superclasses', count(DISTINCT sup) FROM edges
+UNION ALL SELECT 'n_namespaces', count(DISTINCT ns) FROM vocab
+"""
+
+
 # --------------------------------------------------------------------------
 # EQ composition (P7/P8), grid (J11/J12), annotation report (A7)
 # --------------------------------------------------------------------------
@@ -1855,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_templates": q_similarity_templates,
         "taxonomy_triples": q_taxonomy_triples,
         "defined_by": q_defined_by,
+        "class_assertions": q_class_assertions,
+        "tbox_stats": q_tbox_stats,
         "eq_composition": q_eq_composition,
         "eq_annotation_triples": q_eq_annotation_triples,
         "expression_labels": q_expression_labels,
@@ -1920,6 +1978,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_templates": SQL_SIMILARITY_TEMPLATES,
         "taxonomy_triples": SQL_TAXONOMY_TRIPLES,
         "defined_by": SQL_DEFINED_BY,
+        "class_assertions": SQL_CLASS_ASSERTIONS,
+        "tbox_stats": SQL_TBOX_STATS,
         "eq_composition": SQL_EQ_COMPOSITION,
         "eq_annotation_triples": SQL_EQ_ANNOTATION_TRIPLES,
         "expression_labels": SQL_EXPRESSION_LABELS,

@@ -187,3 +187,31 @@ def expression_labels(composed: DataFrame) -> DataFrame:
         F.lit(vocab.RDFS_LABEL).alias("pred"),
         F.col("canonical_expr").alias("obj"),
     ).dropDuplicates()
+
+
+def instantiate_class_assertions(expressions: DataFrame) -> DataFrame:
+    """P14 — ExpressionsUtil.instantiateClassAssertion (util/ExpressionsUtil
+    .scala:34-50): skolemize ``p some (q some C)`` chains into fresh
+    individuals + property assertions.
+
+    Input ``expressions(root_individual, prop, inner_prop, filler)`` — the
+    two-level existential shape the KB materializes for instance queries.
+    Output triples: root --prop--> skolem1, skolem1 --inner_prop--> skolem2,
+    skolem2 rdf:type filler. Skolem IRIs are content hashes of
+    (root, path) — deterministic across runs (SURVEY.md §7.1), never the
+    reference's ``OntUtil.nextIndividual`` UUIDs.
+    """
+    sk1 = iri_fn.mint_iri("ind", F.col("root_individual"), F.col("prop"))
+    sk2 = iri_fn.mint_iri(
+        "ind", F.col("root_individual"), F.col("prop"), F.col("inner_prop")
+    )
+    hop1 = expressions.select(
+        F.col("root_individual").alias("subj"), F.col("prop").alias("pred"), sk1.alias("obj")
+    )
+    hop2 = expressions.select(
+        sk1.alias("subj"), F.col("inner_prop").alias("pred"), sk2.alias("obj")
+    )
+    typing = expressions.select(
+        sk2.alias("subj"), F.lit(vocab.RDF_TYPE).alias("pred"), F.col("filler").alias("obj")
+    )
+    return hop1.unionByName(hop2).unionByName(typing).dropDuplicates()
