@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the optimizations we rely on at 100 TB
+must be visible in the plan, not assumed — broadcast joins for dimension
+tables, filter/column pushdown into the parquet scan, single extraction
+pass, whole-stage codegen coverage."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF001
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = entrymod.queries()[name](spark, SF001)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_tpch_q3_broadcasts_customer_and_pushes_filters(spark):
+    plan = _plan(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    # date/segment predicates reach the parquet scans
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "[]" not in l]
+    assert len(pushed) >= 2, f"expected pushed filters on >=2 scans:\n{plan}"
+
+
+def test_tpch_q6_filter_pushdown(spark):
+    plan = _plan(spark, "tpch_q6")
+    assert any(
+        "PushedFilters" in l and "l_shipdate" in l for l in plan.splitlines()
+    ), plan
+
+
+def test_token_count_column_pruning(spark):
+    plan = _plan(spark, "token_count")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+
+def test_extraction_runs_once_in_presence_query(spark):
+    """The mention UDF subtree is materialized (localCheckpoint): the outer
+    plan must reference the materialized RDD, not re-plan MapInPandas per
+    branch."""
+    plan = _plan(spark, "presence_query")
+    assert plan.count("MapInPandas") == 0, "extraction must be pre-materialized"
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_mentions_count_single_udf_pass(spark):
+    plan = _plan(spark, "mentions_count")
+    assert plan.count("MapInPandas") <= 1
+
+
+def test_whole_stage_codegen_on_relational_anchor(spark):
+    # AQE wraps everything in AdaptiveSparkPlan pre-execution, hiding codegen
+    # subtrees; disable it for the static inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(spark, "tpch_q1", mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    assert m and int(m.group(1)) >= 1, plan[:500]
+
+
+def test_dimension_broadcasts_in_linking(spark):
+    """Term-dimension joins in the KG path must broadcast, never shuffle the
+    doc-derived side."""
+    plan = _plan(spark, "normalized_predicates")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
