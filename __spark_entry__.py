@@ -515,6 +515,54 @@ def q_evolutionary_profiles(spark, sf_dir) -> DataFrame:
     return profiles_op.profile_triples(prof, sp)
 
 
+def _sql_fitch_level(prev: str, edge_cte: str) -> str:
+    """One bottom-up Fitch step: per (parent, character), intersection of the
+    distinct child state-sets if non-empty, else their union (profile event).
+    The taxonomy has fixed depth 3, so the iterative Spark fixpoint unrolls
+    into three chained CTE levels for the oracle."""
+    return f"""
+  SELECT parent, character,
+    list_sort(list_reduce(cs, (a, b) -> list_intersect(a, b))) AS shared,
+    list_sort(list_distinct(flatten(cs))) AS union_all
+  FROM (
+    SELECT parent, character, list(states) AS cs FROM (
+      SELECT DISTINCT e.parent, p.character, p.states
+      FROM {edge_cte} e JOIN {prev} p ON e.child = p.node
+    ) GROUP BY 1, 2
+  )"""
+
+
+SQL_EVOLUTIONARY_PROFILES = f"""
+WITH assoc AS (
+  SELECT DISTINCT 'c:' || cast(o_custkey AS varchar) AS taxon,
+         o_orderstatus AS character, o_orderpriority AS state FROM orders
+),
+asserted AS (
+  SELECT taxon AS node, character, list_sort(list(DISTINCT state)) AS states
+  FROM assoc GROUP BY 1, 2
+),
+cn AS (SELECT DISTINCT 'c:' || cast(c_custkey AS varchar) AS child, 'n:' || cast(c_nationkey AS varchar) AS parent FROM customer),
+nr AS (SELECT DISTINCT 'n:' || cast(n_nationkey AS varchar) AS child, 'r:' || cast(n_regionkey AS varchar) AS parent FROM nation),
+rr AS (SELECT DISTINCT 'r:' || cast(r_regionkey AS varchar) AS child, 'root' AS parent FROM region),
+nat_calc AS ({_sql_fitch_level("asserted", "cn")}),
+nat_cur AS (SELECT parent AS node, character, CASE WHEN len(shared) > 0 THEN shared ELSE union_all END AS states FROM nat_calc),
+reg_calc AS ({_sql_fitch_level("nat_cur", "nr")}),
+reg_cur AS (SELECT parent AS node, character, CASE WHEN len(shared) > 0 THEN shared ELSE union_all END AS states FROM reg_calc),
+root_calc AS ({_sql_fitch_level("reg_cur", "rr")}),
+profiles AS (
+  SELECT parent AS node, union_all AS states FROM nat_calc WHERE len(shared) = 0
+  UNION ALL SELECT parent, union_all FROM reg_calc WHERE len(shared) = 0
+  UNION ALL SELECT parent, union_all FROM root_calc WHERE len(shared) = 0
+),
+linked AS (
+  SELECT DISTINCT node, 'ph:' || unnest(states) AS phenotype FROM profiles
+)
+SELECT node || '#profile' AS subj, '{vocab.RDF_TYPE}' AS pred, phenotype AS obj FROM linked
+UNION
+SELECT DISTINCT node, '{vocab.HAS_PHENOTYPIC_PROFILE}', node || '#profile' FROM linked
+"""
+
+
 def q_homology(spark, sf_dir) -> DataFrame:
     part = KG.load(spark, sf_dir, "part")
     hom = part.select(
@@ -1964,8 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "gene_profiles": SQL_GENE_PROFILES,
         "profile_sizes": SQL_PROFILE_SIZES,
         "taxonomy_depths": SQL_TAXONOMY_DEPTHS,
-        # evolutionary_profiles: iterative Fitch — not SQL-expressible;
-        # rows-only check here, full oracle coverage in tests/test_profiles.py
+        "evolutionary_profiles": SQL_EVOLUTIONARY_PROFILES,
         "homology_axioms": SQL_HOMOLOGY,
         "ic_scores": SQL_IC_SCORES,
         "pairwise_similarity": SQL_PAIRWISE,
