@@ -130,8 +130,10 @@ def ngram_jaccard_pairs(
     recall/cost trade documented at call sites).
     """
     shingles = word_shingles(documents, n).localCheckpoint(eager=True)
-    probe = shingles
     if max_doc_freq is not None:
+        # blocked mode: rare shingles only GENERATE candidates; the exact
+        # Jaccard is then re-verified over the full shingle sets so blocking
+        # affects recall, never the reported scores
         rare = (
             shingles.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -139,15 +141,36 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         probe = shingles.join(rare, "shingle", "leftsemi")
-    a = probe.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = probe.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cand = (
+        cand = (
+            probe.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(probe.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+        return _verified_jaccard(cand, shingles, threshold)
+    # exact mode, single-pass: the inverted-index join aggregates
+    # intersection counts directly (no separate candidate set + re-join —
+    # the join output IS the per-pair shingle co-occurrence relation)
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
     )
-    return _verified_jaccard(cand, shingles, threshold)
+    sizes = _shingle_sizes(shingles)
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
