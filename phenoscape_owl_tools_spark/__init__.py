@@ -17,9 +17,17 @@ Spark pipeline:
 - canonicalization: connected components (hash-to-min) over equivalence edges
 - profiles: gene profiles and Fitch-style evolutionary profiles
   (level-wise tree aggregation)
-- similarity: OWLsim layer (IC, max-IC subsumers, exact-median group scores)
+- similarity: OWLsim layer (IC, max-IC subsumers, exact-median group scores,
+  top-k subsumers, profile Jaccard, expect-score regression)
+- chains: EL property-chain saturation (VAHM model) with role hierarchy
+- training-data ops: exact/MinHash-LSH/SimHash/Jaccard/embedding dedup, ANN
+  top-k (brute-force, sign-bucket LSH, numpy-matmul), language-ID, quality
+  scoring, token counting, rolling fingerprints, multimodal media plumbing
+- streaming: incremental extraction (foreachBatch idempotent sink),
+  watermarked event rollups, applyInPandasWithState sessionization
 - sinks: (subj, pred, obj) triple tables partitioned by subject hash with
-  explicit hub-entity salting, per-stage lineage manifests, resume
+  explicit hub-entity salting, per-stage lineage manifests, resume;
+  N-Triples text export
 """
 
 __version__ = "0.1.0"

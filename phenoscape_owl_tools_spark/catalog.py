@@ -106,3 +106,33 @@ def read_table(spark: SparkSession, path: str | Path) -> DataFrame:
     if "bucket" in df.columns:
         df = df.drop("bucket")
     return df
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """S9 — N-Triples text rendering of a (subj, pred, obj) frame
+    (PhenoscapeKB.scala:406-460 exports Turtle; line-oriented N-Triples is
+    the distributed-friendly equivalent: one row per statement, pure
+    ``concat_ws``, trivially written with ``text`` format).
+
+    IRIs are wrapped in angle brackets; objects that are not IRIs (no
+    scheme) are emitted as escaped literals.
+    """
+    is_iri = F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    obj_term = F.when(
+        is_iri, F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    ).otherwise(
+        F.concat(
+            F.lit('"'),
+            F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"'),
+            F.lit('"'),
+        )
+    )
+    return triples.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+            obj_term,
+            F.lit("."),
+        ).alias("value")
+    )

@@ -96,3 +96,20 @@ def test_eq_grid_generate_and_test(spark):
     kept = surviving_subsumers(grid, cooccur).collect()
     assert len(kept) == 1
     assert (kept[0]["entity"], kept[0]["quality"]) == ("E1", "Q2")
+
+
+def test_ntriples_rendering(spark, tmp_path):
+    from phenoscape_owl_tools_spark.catalog import to_ntriples
+
+    df = spark.createDataFrame(
+        [("http://s/1", "http://p", "http://o/1"),
+         ("http://s/1", "http://p", 'a "quoted" literal')],
+        ["subj", "pred", "obj"],
+    )
+    lines = sorted(r["value"] for r in to_ntriples(df).collect())
+    assert lines[0] == '<http://s/1> <http://p> "a \\"quoted\\" literal" .'
+    assert lines[1] == "<http://s/1> <http://p> <http://o/1> ."
+    out = tmp_path / "nt"
+    to_ntriples(df).coalesce(1).write.mode("overwrite").text(str(out))
+    content = [p.read_text() for p in out.glob("*.txt")][0]
+    assert content.count(" .\n") == 2
