@@ -1475,7 +1475,7 @@ SELECT doc_id, {_sim_cat} AS simhash FROM bits
 SQL_UNITS_CTE = """
 units AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)
-    / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS double) * CAST(y AS double))))) AS u
+    / coalesce(nullif(sqrt(list_sum(list_transform(embedding, y -> CAST(y AS double) * CAST(y AS double)))), 0.0), 1.0)) AS u
   FROM embeddings
 )"""
 

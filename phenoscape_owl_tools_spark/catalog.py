@@ -118,15 +118,14 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
     scheme) are emitted as escaped literals.
     """
     is_iri = F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    # STRING_LITERAL_QUOTED escaping: backslash first, then quote and the
+    # control characters the grammar forbids raw (\n \r \t)
+    escaped = F.col("obj")
+    for pat, rep in ((r"\\", r"\\\\"), ('"', '\\\\"'), ("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t")):
+        escaped = F.regexp_replace(escaped, pat, rep)
     obj_term = F.when(
         is_iri, F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
-    ).otherwise(
-        F.concat(
-            F.lit('"'),
-            F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"'),
-            F.lit('"'),
-        )
-    )
+    ).otherwise(F.concat(F.lit('"'), escaped, F.lit('"')))
     return triples.select(
         F.concat_ws(
             " ",

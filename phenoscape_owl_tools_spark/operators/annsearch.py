@@ -137,9 +137,12 @@ def matmul_topk(
 
     spark = embeddings.sparkSession
     q_rows = queries.select("query_id", "embedding").collect()
+    if not q_rows:
+        return spark.createDataFrame([], MATMUL_SCHEMA)
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= np.where(qn == 0, 1.0, qn)  # zero vectors stay zero, not NaN
     bc = spark.sparkContext.broadcast((qids, qm))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,7 +152,8 @@ def matmul_topk(
                 continue
             nids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cm = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm /= np.where(cn == 0, 1.0, cn)
             sims = qm_ @ cm.T  # (n_queries, batch)
             out = {"query_id": [], "neighbor_id": [], "cos": [], "rank": []}
             top = min(k, sims.shape[1])

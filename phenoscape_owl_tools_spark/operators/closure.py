@@ -238,11 +238,20 @@ def property_chain_closure(
         "assertions",
     )
     sp = asrt.sparkSession
-    chain_df = sp.createDataFrame(chains, ["c1", "c2", "cr"])
+    chain_df = (
+        sp.createDataFrame(chains, ["c1", "c2", "cr"]) if chains else None
+    )
     if subprops is not None:
         subprops = barrier(subprops.select("sub_p", "sup_p"), "subprops")
 
     def derive(delta: DataFrame, full: DataFrame) -> DataFrame:
+        if chain_df is None:
+            # role hierarchy only (legal EL ontology without chains)
+            if subprops is None:
+                return delta.limit(0)
+            return delta.join(subprops, delta["p"] == subprops["sub_p"]).select(
+                F.col("sup_p").alias("p"), "s", "o"
+            )
         # delta in position 1 against full in position 2, and vice versa
         d1 = (
             delta.alias("d").join(F.broadcast(chain_df), F.col("d.p") == F.col("c1"))

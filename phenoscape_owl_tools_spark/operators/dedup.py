@@ -30,8 +30,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-HEX = "0123456789abcdef"
-
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -46,8 +44,10 @@ def exact_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFram
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Hash-groupBy exact dedup: every doc mapped to the keeper (min doc_id)
-    of its fingerprint group, with a dup flag.
+    """Hash-groupBy exact dedup: every doc mapped to the keeper of its
+    fingerprint group, with a dup flag. The keeper is the lexicographic
+    minimum of the *stringified* doc id — canonical and deterministic for
+    arbitrary id types (for ingestion-order keeps, zero-pad numeric ids).
 
     One shuffle on the uniform sha2 key; scales linearly.
     """
@@ -309,7 +309,10 @@ def unit_vector_col(e) -> F.Column:
     """
     ed = F.transform(e, lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(F.transform(ed, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return F.transform(ed, lambda x: x / nrm)
+    # zero vectors stay zero (cosine 0 vs everything) instead of NaN;
+    # mirrored by nullif/coalesce in the SQL oracle
+    safe = F.coalesce(F.nullif(nrm, F.lit(0.0)), F.lit(1.0))
+    return F.transform(ed, lambda x: x / safe)
 
 
 def dot_col(a, b) -> F.Column:

@@ -42,7 +42,19 @@ def fit_ols3(scores: DataFrame) -> tuple[float, float, float, float, int]:
     ).collect()[0]
     n, s1, s2, sy = m["n"], m["s1"], m["s2"], m["sy"]
     s11, s12, s22, s1y, s2y = m["s11"], m["s12"], m["s22"], m["s1y"], m["s2y"]
+    if n is None or n == 0:
+        raise ValueError("expect_scores: empty input")
     det = _det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    # Singular design (collinear regressors, e.g. all profiles the same
+    # size) or too few points for a 3-coefficient fit: degrade to the
+    # intercept-only model rather than dividing by ~zero — residuals then
+    # measure deviation from the mean score, which is the right null model.
+    scale = max(abs(n), abs(s11), abs(s22), 1.0) ** 3
+    if n <= 3 or abs(det) < 1e-12 * scale:
+        b0, b1, b2 = sy / n, 0.0, 0.0
+        sse = m["syy"] - n * b0 * b0
+        sigma = math.sqrt(max(sse, 0.0) / max(n - 1, 1)) or 1.0
+        return b0, b1, b2, sigma, n
     b0 = _det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
     b1 = _det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
     b2 = _det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det

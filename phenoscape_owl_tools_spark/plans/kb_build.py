@@ -242,8 +242,10 @@ def _phenotype_ancestors(tx_ph: DataFrame, closure: DataFrame, salt: int | None)
     closure — the hub-skew join of the presence/absence path: a handful of
     hot phenotype classes appear in a large fraction of documents, so the
     probe side is salted and the closure (dim) side exploded
-    (operators/salting.py; salt factor auto-chosen from the key histogram
-    when ``salt is None`` and recorded by the caller's manifest).
+    (operators/salting.py). ``salt=None`` auto-chooses from the key
+    histogram (one collect job — callers with several path queries should
+    choose once and pass it, as kb_build.run does, recording it under
+    ``manifests['_config']``).
     """
     cl = closure.select(F.col("sub").alias("cl_sub"), F.col("sup").alias("cl_sup"))
     if salt is None:
@@ -408,15 +410,21 @@ def run(
     taxa = inputs.terms.where(F.col("namespace") == "taxon").select(F.col("iri").alias("t"))
     exhibits = doc_trip.where(F.col("pred") == vocab.EXHIBITS_STATE)
     describes = doc_trip.where(F.col("pred") == vocab.DESCRIBES_PHENOTYPE)
+    # choose the hub-skew salt ONCE (one histogram job, shared by both path
+    # queries) and record it for resume/golden-file verification
+    salt = salting.choose_salt_factor(
+        _taxon_phenotypes(exhibits, describes), "phenotype"
+    )
+    result.manifests["_config"] = {"presence_path_salt": salt}
     presences = stage(
         "presences",
-        _fingerprint("presences", in_fp),
-        lambda: presence_query(exhibits, describes, cl, presence_map, taxa),
+        _fingerprint("presences", in_fp, f"salt={salt}"),
+        lambda: presence_query(exhibits, describes, cl, presence_map, taxa, salt=salt),
     )
     absences = stage(
         "absences",
-        _fingerprint("absences", in_fp),
-        lambda: absence_query(exhibits, describes, cl, absence_map, taxa),
+        _fingerprint("absences", in_fp, f"salt={salt}"),
+        lambda: absence_query(exhibits, describes, cl, absence_map, taxa, salt=salt),
     )
 
     # profiles

@@ -150,10 +150,27 @@ def _sessionize_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     gap_seconds: float,
+    idle_timeout: bool = False,
 ):
     """Per-user session-gap fold; the open session persists in ``state``
-    across micro-batches (the cross-batch continuation is the point)."""
+    across micro-batches (the cross-batch continuation is the point).
+
+    State is bounded: a processing-time timeout of one gap closes and
+    evicts idle users' open sessions, so state size tracks *active* users,
+    not all users ever seen. Late events older than the open session's last
+    timestamp fold into the current session (they cannot re-split history);
+    ``session_end`` is monotone (max, never moved backwards).
+    """
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle user: flush the open session as closed and evict the state
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, start, last, n, True)],
+            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+        )
+        return
     ts = sorted(t for pdf in pdfs for t in pdf["ts_sec"])
     if state.exists:
         start, last, n = state.get
@@ -168,9 +185,11 @@ def _sessionize_group(
             closed.append((user_id, start, last, n, True))
             start, last, n = t, t, 1
         else:
-            last, n = t, n + 1
+            last, n = max(last, t), n + 1
     if start is not None:
         state.update((start, last, n))
+        if idle_timeout:
+            state.setTimeoutDuration(int(gap_seconds * 1000))
         open_row = [(user_id, start, last, n, False)]
     else:
         open_row = []
@@ -180,18 +199,34 @@ def _sessionize_group(
     )
 
 
-def sessionize_stream(events_stream: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_seconds: float = 1800.0,
+    idle_timeout: bool = False,
+) -> DataFrame:
     """Custom stateful operator: session-gap detection via
     ``applyInPandasWithState`` (update mode). Emits closed sessions as they
     close plus the current open session per user each batch.
+
+    ``idle_timeout=True`` (long-running production streams) bounds state:
+    a processing-time timeout of one gap flushes and evicts idle users'
+    open sessions, so the state store tracks active users only. Leave False
+    for drain-style runs (``Trigger.AvailableNow``), where a pending
+    processing-time timeout would keep the drain from terminating.
     """
     with_sec = events_stream.select(
         "user_id", F.unix_timestamp("ts").cast("double").alias("ts_sec")
     )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return with_sec.groupBy("user_id").applyInPandasWithState(
-        lambda key, pdfs, state: _sessionize_group(key, pdfs, state, gap_seconds),
+        lambda key, pdfs, state: _sessionize_group(
+            key, pdfs, state, gap_seconds, idle_timeout
+        ),
         SESSION_OUTPUT_SCHEMA,
         SESSION_STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        timeout_conf,
     )

@@ -37,10 +37,22 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=16)
     args = ap.parse_args()
 
-    # Under spark-submit the session comes from the submit conf; standalone
-    # fall back to the engine defaults.
-    spark = SparkSession.getActiveSession()
-    if spark is None:
+    # Under spark-submit, spark.master comes from the submit conf and MUST
+    # NOT be overridden (get_spark would force local[N] and silently run the
+    # whole build on the driver host). Detect submit by the presence of
+    # spark.master in the ambient conf; standalone runs fall back to the
+    # engine defaults.
+    from pyspark import SparkConf
+
+    if SparkConf().contains("spark.master"):
+        spark = SparkSession.builder.appName("kb-build").getOrCreate()
+        # engine-critical SQL confs (runtime-settable; cluster topology and
+        # memory stay whatever spark-submit configured)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    else:
         from phenoscape_owl_tools_spark.session import get_spark
 
         spark = get_spark("kb-build")

@@ -88,3 +88,24 @@ def test_matmul_topk_matches_brute_force(spark, emb):
     ]
     for a, b in zip(bf_s, mm_s):
         assert a["cos"] == pytest.approx(b["cos"], abs=2e-6)
+
+
+def test_matmul_topk_empty_queries(spark, emb):
+    from pyspark.sql import functions as FF
+
+    empty = emb.where(FF.col("vec_id") < 0).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert annsearch.matmul_topk(emb, empty, k=5).count() == 0
+
+
+def test_zero_norm_embedding_is_not_nan(spark):
+    from pyspark.sql import Row, functions as FF
+    from phenoscape_owl_tools_spark.operators.dedup import embedding_near_dups
+
+    rows = [Row(vec_id=1, embedding=[0.0, 0.0]), Row(vec_id=2, embedding=[1.0, 0.0])]
+    emb = spark.createDataFrame(rows).select(
+        "vec_id", FF.col("embedding").cast("array<float>").alias("embedding")
+    )
+    # zero vector has cosine 0 with everything: below threshold, no NaNs
+    assert embedding_near_dups(emb, threshold=0.1).count() == 0

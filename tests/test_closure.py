@@ -139,3 +139,14 @@ def test_property_chain_closure_random_with_subprops(spark):
         for r in closure.property_chain_closure(df, chains, subprops=sp).collect()
     }
     assert got == _py_chain_closure(assertions, chains, subprops)
+
+
+def test_property_chain_closure_subprops_only(spark):
+    assertions = [("q", "a", "b"), ("q", "b", "c")]
+    df = spark.createDataFrame(assertions, ["p", "s", "o"])
+    sp = spark.createDataFrame([("q", "p")], ["sub_p", "sup_p"])
+    got = {
+        (r["p"], r["s"], r["o"])
+        for r in closure.property_chain_closure(df, chains=[], subprops=sp).collect()
+    }
+    assert got == set(assertions) | {("p", "a", "b"), ("p", "b", "c")}

@@ -75,9 +75,13 @@ def test_session_fold_invariants(ts, gap):
 
     class FakeState:
         exists = False
+        hasTimedOut = False
 
         def update(self, v):
             self.exists, self.got = True, v
+
+        def setTimeoutDuration(self, ms):
+            pass
 
     import pandas as pd
 

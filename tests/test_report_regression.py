@@ -113,3 +113,30 @@ def test_ntriples_rendering(spark, tmp_path):
     to_ntriples(df).coalesce(1).write.mode("overwrite").text(str(out))
     content = [p.read_text() for p in out.glob("*.txt")][0]
     assert content.count(" .\n") == 2
+
+
+def test_expect_scores_singular_design_degrades_gracefully(spark):
+    # all profiles the same size: log sizes are constant => collinear with
+    # the intercept; must fall back to the intercept-only model, not crash
+    rows = [Row(query=f"q{i}", corpus=f"c{i}", score=float(i % 5),
+                query_size=3, corpus_size=3) for i in range(10)]
+    out = regression.expect_scores(spark.createDataFrame(rows)).collect()
+    assert len(out) == 10
+    assert all(0.0 <= r["p_value"] <= 1.0 for r in out)
+
+
+def test_expect_scores_tiny_n(spark):
+    rows = [Row(query="q", corpus="c", score=1.0, query_size=2, corpus_size=4)]
+    out = regression.expect_scores(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+
+
+def test_ntriples_control_char_escaping(spark):
+    from phenoscape_owl_tools_spark.catalog import to_ntriples
+
+    df = spark.createDataFrame(
+        [("http://s", "http://p", "line1\nline2\tend")], ["subj", "pred", "obj"]
+    )
+    line = to_ntriples(df).collect()[0]["value"]
+    assert "\n" not in line and "\t" not in line
+    assert line == '<http://s> <http://p> "line1\\nline2\\tend" .'
