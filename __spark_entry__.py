@@ -951,14 +951,15 @@ def q_class_assertions(spark, sf_dir) -> DataFrame:
 
 
 _MINT = "http://purl.org/phenoscape/minted/ind/"
+_SEP = "\x1f"  # mint_iri unit separator (functions/iri.py MINT_SEP)
 
 SQL_CLASS_ASSERTIONS = f"""
 WITH {SQL_WORDS}, {SQL_VOCAB},
 anat AS (SELECT 'http://kg.example.org/term/' || w AS root FROM vocab WHERE ns = 'anatomy'),
 sk AS (
   SELECT root,
-    '{_MINT}' || sha256('ind ' || root || ' {vocab.HAS_PART}') AS sk1,
-    '{_MINT}' || sha256('ind ' || root || ' {vocab.HAS_PART} {vocab.INHERES_IN}') AS sk2
+    '{_MINT}' || sha256('ind{_SEP}' || root || '{_SEP}{vocab.HAS_PART}') AS sk1,
+    '{_MINT}' || sha256('ind{_SEP}' || root || '{_SEP}{vocab.HAS_PART}{_SEP}{vocab.INHERES_IN}') AS sk2
   FROM anat
 )
 SELECT DISTINCT subj, pred, obj FROM (

@@ -22,14 +22,26 @@ from phenoscape_owl_tools_spark import vocab
 MINT_PREFIX = "http://purl.org/phenoscape/minted/"
 
 
+MINT_SEP = "\x1f"  # unit separator: cannot appear in IRIs or sane ids
+MINT_NULL = "\x00"  # explicit null marker (concat_ws silently drops nulls)
+
+
 def mint_iri(kind: str, *parts: Column | str) -> Column:
     """Content-derived IRI: sha256 over (kind, parts...).
 
     Replaces the reference's UUID minting (PhenexToOWL.scala:121) with a
-    deterministic equivalent: same logical content => same IRI.
+    deterministic equivalent: same logical content => same IRI. Parts are
+    joined on a unit separator with an explicit null marker, so parts
+    containing spaces — or absent parts — cannot collide ((\"a b\", \"c\")
+    vs (\"a\", \"b c\"); (\"x\", NULL, \"y\") vs (\"x\", \"y\")).
     """
-    cols = [F.lit(kind)] + [F.col(p) if isinstance(p, str) else p for p in parts]
-    return F.concat(F.lit(MINT_PREFIX + kind + "/"), F.sha2(F.concat_ws(" ", *cols), 256))
+    cols = [F.lit(kind)] + [
+        F.coalesce(F.col(p) if isinstance(p, str) else p, F.lit(MINT_NULL))
+        for p in parts
+    ]
+    return F.concat(
+        F.lit(MINT_PREFIX + kind + "/"), F.sha2(F.concat_ws(MINT_SEP, *cols), 256)
+    )
 
 
 def obo_iri_for_term_id(term_id: Column | str) -> Column:

@@ -98,12 +98,33 @@ def transitive_closure(
         delta = barrier(delta.unionByName(first_mono).dropDuplicates(), "delta")
         closure = delta
 
+    converged = False
     for _ in range(max_iterations):
-        step = (
-            delta.alias("d")
-            .join(edges.alias("e"), F.col("d.sup") == F.col("e.sub"))
-            .select(F.col("d.sub").alias("sub"), F.col("e.sup").alias("sup"))
-        )
+        if restrictions is None:
+            # plain transitivity over a static edge set: linear semi-naive
+            # (delta ∘ base) is complete and cheapest — O(diameter) rounds
+            step = (
+                delta.alias("d")
+                .join(edges.alias("e"), F.col("d.sup") == F.col("e.sub"))
+                .select(F.col("d.sub").alias("sub"), F.col("e.sup").alias("sup"))
+            )
+        else:
+            # monotonicity DERIVES NEW EDGES mid-fixpoint (rx ⊑ ry), so the
+            # edge set is not static: linear semi-naive against the base
+            # would never compose pre-existing facts with derived edges
+            # (e.g. a ⊑ rx asserted, rx ⊑ ry derived ⟹ a ⊑ ry — which ELK
+            # entails). Non-linear semi-naive closes over the FULL relation:
+            # delta ∘ closure ∪ closure ∘ delta (also O(log d) rounds).
+            step = (
+                delta.alias("d")
+                .join(closure.alias("c"), F.col("d.sup") == F.col("c.sub"))
+                .select(F.col("d.sub").alias("sub"), F.col("c.sup").alias("sup"))
+                .unionByName(
+                    closure.alias("c2")
+                    .join(delta.alias("d2"), F.col("c2.sup") == F.col("d2.sub"))
+                    .select(F.col("c2.sub").alias("sub"), F.col("d2.sup").alias("sup"))
+                )
+            )
         mono = monotonicity(delta)
         if mono is not None:
             step = step.unionByName(mono)
@@ -114,9 +135,14 @@ def transitive_closure(
             "delta",
         )
         if new.isEmpty():
+            converged = True
             break
         closure = closure.unionByName(new)
         delta = new
+    if not converged:
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_iterations} iterations"
+        )
 
     if reflexive:
         nodes = (

@@ -62,6 +62,11 @@ def homology_axioms(homology: DataFrame) -> DataFrame:
         F.trim("taxon2").alias("t2"),
         F.col("evidence_code"),
         F.col("publication"),
+    ).where(
+        # strict relation vocabulary (the reference's processEntry matches
+        # exact spellings, HomologyTableToOWL.scala:49-68); unknown
+        # spellings are dropped rather than misclassified as serial homology
+        F.col("rel").isin("hom to", "not hom to", "ser hom to", "not ser hom to")
     ).withColumn(
         "prop",
         F.when(F.col("rel").isin("hom to", "not hom to"), F.lit(IN_HISTORICAL_HOMOLOGY))

@@ -74,7 +74,12 @@ class _PhraseTrie:
             node = self.root
             for t in toks:
                 node = node.setdefault(t, {})
-            node.setdefault("\x00", iri)
+            # distinct surfaces can tokenize identically ("big-toe" vs
+            # "big toe"): resolve to min(iri) so the trie is independent of
+            # dictionary collect() order (determinism contract)
+            cur = node.get("\x00")
+            if cur is None or iri < cur:
+                node["\x00"] = iri
 
     def find(self, tokens: list[str]) -> list[tuple[int, int, str, str]]:
         """Longest non-overlapping matches: (start, n_tokens, surface, iri)."""

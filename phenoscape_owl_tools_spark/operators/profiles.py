@@ -25,18 +25,21 @@ from pyspark.sql import functions as F
 from phenoscape_owl_tools_spark import vocab
 
 
-def taxonomy_depths(taxonomy_edges: DataFrame) -> DataFrame:
+def taxonomy_depths(taxonomy_edges: DataFrame, max_depth: int = 500) -> DataFrame:
     """(node, depth) for every node of the taxonomy tree; root depth 0.
 
     Iterative level propagation — O(depth) tiny joins over the (small)
     taxonomy dimension; the tree is broadcast-scale next to the fact data.
+    The input must be a tree (every node one parent, no cycles) — a cycle
+    would level-propagate forever, so the loop raises past ``max_depth``
+    instead of hanging the driver.
     """
     edges = taxonomy_edges.select("child", "parent").dropDuplicates().localCheckpoint(eager=True)
     children = edges.select(F.col("child").alias("n"))
     parents = edges.select(F.col("parent").alias("n"))
     roots = parents.subtract(children).withColumn("depth", F.lit(0))
     levels = [roots.localCheckpoint(eager=True)]
-    while True:
+    for _ in range(max_depth):
         prev = levels[-1]
         nxt = (
             edges.join(prev, edges["parent"] == prev["n"])
@@ -46,6 +49,11 @@ def taxonomy_depths(taxonomy_edges: DataFrame) -> DataFrame:
         if nxt.isEmpty():
             break
         levels.append(nxt)
+    else:
+        raise RuntimeError(
+            f"taxonomy_depths exceeded max_depth={max_depth}: "
+            "taxonomy_edges is not a bounded-depth tree (cycle?)"
+        )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

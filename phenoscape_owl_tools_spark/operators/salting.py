@@ -46,6 +46,10 @@ def salted_join(
     fingerprint column set, not a random number — re-runs produce identical
     partitioning (required for resume + golden-file comparison).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi"):
+        # right/full outer would duplicate unmatched build rows salt times
+        # (the build side is exploded S ways)
+        raise ValueError(f"salted_join does not support how={how!r}")
     if salt <= 1:
         return probe.join(build, probe[probe_key] == build[build_key], how)
     salted_probe = probe.withColumn(

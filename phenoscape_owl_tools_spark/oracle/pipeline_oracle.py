@@ -26,8 +26,9 @@ def _sha(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()
 
 
-def mint_iri(kind: str, *parts: str) -> str:
-    return MINT_PREFIX + kind + "/" + _sha(" ".join([kind, *parts]))
+def mint_iri(kind: str, *parts: str | None) -> str:
+    joined = "\x1f".join([kind, *("\x00" if p is None else p for p in parts)])
+    return MINT_PREFIX + kind + "/" + _sha(joined)
 
 
 def restriction_iri(prop: str, filler: str) -> str:
@@ -196,23 +197,35 @@ def expected_triples(corpus) -> set[tuple[str, str, str]]:
     for r, (p, f) in restrictions.items():
         by_filler[f].append((p, r))
 
+    # Full saturation: monotonicity derives NEW edges (rx < ry), which must
+    # themselves compose transitively with everything else — so transitivity
+    # runs over the whole closure (both directions from the frontier), not
+    # just the seed edges. Mirrors the engine's non-linear semi-naive loop.
     closure = set(x for x in seed if x[0] != x[1])
     frontier = set(closure)
-    edges_by_sub: dict[str, set[str]] = defaultdict(set)
-    for a, b in seed:
-        edges_by_sub[a].add(b)
+    cl_by_sub: dict[str, set[str]] = defaultdict(set)
+    cl_by_sup: dict[str, set[str]] = defaultdict(set)
+    for a, b in closure:
+        cl_by_sub[a].add(b)
+        cl_by_sup[b].add(a)
     while frontier:
         new: set[tuple[str, str]] = set()
         for x, y in frontier:
-            for z in edges_by_sub.get(y, ()):
+            for z in cl_by_sub.get(y, ()):
                 if x != z and (x, z) not in closure:
                     new.add((x, z))
+            for w in cl_by_sup.get(x, ()):
+                if w != y and (w, y) not in closure:
+                    new.add((w, y))
             # monotonicity: (P some x) < (P some y)
             for p1, r1 in by_filler.get(x, ()):
                 for p2, r2 in by_filler.get(y, ()):
                     if p1 == p2 and r1 != r2 and (r1, r2) not in closure:
                         new.add((r1, r2))
         closure |= new
+        for a, b in new:
+            cl_by_sub[a].add(b)
+            cl_by_sup[b].add(a)
         frontier = new
 
     # --- negation hierarchy --------------------------------------------------

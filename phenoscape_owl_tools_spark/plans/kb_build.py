@@ -356,8 +356,29 @@ def run(
         result.stages[name] = df
         return df
 
+    # Resume fingerprint covers input CONTENT, not just shape: a schema-only
+    # fingerprint would happily serve corpus A's cached stages for corpus B.
+    # One cheap checksum pass per input table at pipeline start (the
+    # order-insensitive xxhash64 sum catalog.content_checksum provides).
+    content_parts = []
+    for name, df in (
+        ("documents", inputs.documents),
+        ("terms", inputs.terms),
+        ("synonyms", inputs.synonyms),
+        ("subclass_edges", inputs.subclass_edges),
+        ("equiv_edges", inputs.equiv_edges),
+        ("restrictions", inputs.restrictions),
+        ("gene_annotations", inputs.gene_annotations),
+        ("homology", inputs.homology),
+        ("taxonomy_edges", inputs.taxonomy_edges),
+        ("state_phenotypes", inputs.state_phenotypes),
+    ):
+        content_parts.append(
+            f"{name}={catalog.content_checksum(df) if df is not None else 'none'}"
+        )
     in_fp = _fingerprint(
         str(inputs.documents.schema), str(sorted(inputs.terms.columns)),
+        *content_parts,
     )
 
     linked = stage("linked_mentions", _fingerprint("linked", in_fp),

@@ -150,3 +150,19 @@ def test_property_chain_closure_subprops_only(spark):
         for r in closure.property_chain_closure(df, chains=[], subprops=sp).collect()
     }
     assert got == set(assertions) | {("p", "a", "b"), ("p", "b", "c")}
+
+
+def test_derived_restriction_edges_compose_with_asserted_facts(spark):
+    """ELK parity gap (found in review): rx < ry is DERIVED by monotonicity
+    from x < y; an asserted a < rx must then compose to a < ry. Linear
+    semi-naive against the base edge set misses this."""
+    edges = _edges_df(spark, {("x", "y"), ("a", "rx")})
+    restrictions = spark.createDataFrame(
+        [("rx", "P", "x"), ("ry", "P", "y")], ["iri", "prop", "filler"]
+    )
+    got = {
+        (r["sub"], r["sup"])
+        for r in closure.transitive_closure(edges, restrictions=restrictions).collect()
+    }
+    assert ("rx", "ry") in got  # monotonicity
+    assert ("a", "ry") in got  # composition through the DERIVED edge

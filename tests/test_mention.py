@@ -59,3 +59,14 @@ def test_phrase_trie_longest_match():
     assert ("iri:optic" in [f[3] for f in found])
     # longest match wins at position 1
     assert found[0][1] == 2
+
+
+def test_trie_ambiguous_tokenization_resolves_to_min_iri():
+    from phenoscape_owl_tools_spark.operators.mention import _PhraseTrie
+
+    # both surfaces tokenize to ['big', 'toe']; resolution must not depend
+    # on insertion order
+    t1 = _PhraseTrie([("big-toe", "iri:B"), ("big toe", "iri:A")])
+    t2 = _PhraseTrie([("big toe", "iri:A"), ("big-toe", "iri:B")])
+    assert t1.find(["big", "toe"]) == t2.find(["big", "toe"])
+    assert t1.find(["big", "toe"])[0][3] == "iri:A"

@@ -77,3 +77,24 @@ def test_manifests_have_lineage(pipeline_run):
     assert m["checksum"] is not None
     assert m["partition_counts"], "subject-hash partition counts missing"
     assert sum(m["partition_counts"].values()) == m["row_count"]
+
+
+def test_resume_invalidated_by_input_change(spark, corpus, tmp_path_factory):
+    """Changed input content with identical schema must NOT be served stale
+    results from a previous run's stages."""
+    from pyspark.sql import functions as F
+
+    c, paths = corpus
+    out = tmp_path_factory.mktemp("kb_out_inval")
+    inputs = _inputs(spark, paths)
+    res1 = kb_build.run(spark, inputs, out_dir=out, n_buckets=4)
+    n1 = res1.triples.count()
+    # drop half the documents: same schema, different content
+    smaller = kb_build.KBInputs(
+        **{**inputs.__dict__, "documents": inputs.documents.limit(40)}
+    )
+    res2 = kb_build.run(spark, smaller, out_dir=out, n_buckets=4)
+    resumed = [k for k, m in res2.manifests.items()
+               if isinstance(m, dict) and m.get("resumed")]
+    assert resumed == [], f"stages wrongly resumed: {resumed}"
+    assert res2.triples.count() != n1
