@@ -9,6 +9,9 @@ All derivations over the driver tables are deterministic SQL-expressible
 functions (phenoscape_owl_tools_spark/sources/tpch_kg.py) so the oracle can
 recompute them exactly. Float outputs are rounded identically on both sides;
 all computed columns are aliased identically.
+
+62 queries, all oracle-paired (including the iterative Fitch profile via a
+fixed-depth unrolled SQL oracle). Operator-ID → query-key map: SURVEY.md §8.
 """
 
 from __future__ import annotations
