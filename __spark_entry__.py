@@ -10,7 +10,7 @@ functions (phenoscape_owl_tools_spark/sources/tpch_kg.py) so the oracle can
 recompute them exactly. Float outputs are rounded identically on both sides;
 all computed columns are aliased identically.
 
-62 queries, all oracle-paired (including the iterative Fitch profile via a
+61 queries, all oracle-paired (including the iterative Fitch profile via a
 fixed-depth unrolled SQL oracle). Operator-ID → query-key map: SURVEY.md §8.
 """
 
