@@ -43,15 +43,55 @@ class IterationBarrier:
         self.root = tempfile.mkdtemp(prefix=f"sparkgraft_{name}_")
         self._seq = 0
         self._depth = 0
+        self._paths: list[str] = []
         self.local_until = local_until
         atexit.register(shutil.rmtree, self.root, True)
 
+    @staticmethod
+    def harden(df: DataFrame) -> None:
+        """Disable constraint propagation in ``df``'s session (idempotent).
+
+        Spark 4.1.2's ``UnionBase.rewriteConstraints`` throws
+        ``NoSuchElementException: key not found: sub#N`` when unioning
+        checkpoint-derived frames — the exact shape of every semi-naive
+        fixpoint here. The conf is runtime-settable, so setting it at the
+        operator level makes correctness independent of which session
+        factory built the session (the driver's oracle harness uses a
+        vanilla session, not ``session.get_spark``).
+        """
+        df.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+
     def __call__(self, df: DataFrame, tag: str = "step") -> DataFrame:
+        self.harden(df)
         if self._depth < self.local_until:
             self._depth += 1
             return df.localCheckpoint(eager=True)
+        return self.materialize(df, tag)
+
+    def materialize(self, df: DataFrame, tag: str = "step") -> DataFrame:
+        """Force a parquet round-trip regardless of the depth counter.
+
+        Used by fixpoint loops to *compact* the accumulated closure (a union
+        of many barrier-materialized deltas) into a single scan: bounds both
+        the plan's union width (which otherwise grows linearly with the
+        iteration count) and, together with :meth:`gc`, temp-disk growth.
+        """
+        self.harden(df)
         self._depth = 0
         path = f"{self.root}/{tag}_{self._seq}"
         self._seq += 1
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        self._paths.append(path)
+        return out
+
+    def gc(self, keep: int = 2) -> None:
+        """Delete all but the ``keep`` newest parquet dirs.
+
+        ONLY safe when the caller knows every live frame derives from the
+        newest ``keep`` materializations (e.g. right after compacting both
+        the accumulated closure and the current delta). localCheckpoint
+        outputs live in the block manager and are unaffected.
+        """
+        while len(self._paths) > keep:
+            shutil.rmtree(self._paths.pop(0), ignore_errors=True)

@@ -98,8 +98,14 @@ def transitive_closure(
         delta = barrier(delta.unionByName(first_mono).dropDuplicates(), "delta")
         closure = delta
 
+    # Every COMPACT_EVERY rounds, rewrite the accumulated closure (a union
+    # of all prior deltas) into one parquet scan: bounds union width — the
+    # per-round anti-join otherwise scans O(iterations) branches — and lets
+    # the barrier GC superseded files (superseded deltas become dead once
+    # closure and the live delta are both freshly materialized).
+    COMPACT_EVERY = 8
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         if restrictions is None:
             # plain transitivity over a static edge set: linear semi-naive
             # (delta ∘ base) is complete and cheapest — O(diameter) rounds
@@ -139,6 +145,10 @@ def transitive_closure(
             break
         closure = closure.unionByName(new)
         delta = new
+        if (it + 1) % COMPACT_EVERY == 0:
+            closure = barrier.materialize(closure, "closure")
+            delta = barrier.materialize(delta, "delta")
+            barrier.gc(keep=2)
     if not converged:
         raise RuntimeError(
             f"transitive_closure did not converge in {max_iterations} iterations"
@@ -298,9 +308,10 @@ def property_chain_closure(
             )
         return out
 
+    COMPACT_EVERY = 8  # see transitive_closure: bound union width + GC temp files
     full = asrt
     delta = asrt
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         new = barrier(
             derive(delta, full)
             .where(F.col("s") != F.col("o"))
@@ -312,4 +323,8 @@ def property_chain_closure(
             break
         full = full.unionByName(new)
         delta = new
+        if (it + 1) % COMPACT_EVERY == 0:
+            full = barrier.materialize(full, "full")
+            delta = barrier.materialize(delta, "delta")
+            barrier.gc(keep=2)
     return full
