@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from phenoscape_owl_tools_spark import vocab
+from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
 
 
 def taxonomy_depths(taxonomy_edges: DataFrame, max_depth: int = 500) -> DataFrame:
@@ -33,18 +34,24 @@ def taxonomy_depths(taxonomy_edges: DataFrame, max_depth: int = 500) -> DataFram
     The input must be a tree (every node one parent, no cycles) — a cycle
     would level-propagate forever, so the loop raises past ``max_depth``
     instead of hanging the driver.
+
+    Levels go through :class:`IterationBarrier` (not bare localCheckpoint):
+    a chain of checkpoint-derived frames shows per-task time doubling past
+    ~13 links on Spark 4.1 (BENCH.md §5), and real taxonomies (VTO) are
+    deeper than that.
     """
-    edges = taxonomy_edges.select("child", "parent").dropDuplicates().localCheckpoint(eager=True)
+    barrier = IterationBarrier("taxdepth")
+    edges = barrier(taxonomy_edges.select("child", "parent").dropDuplicates(), "edges")
     children = edges.select(F.col("child").alias("n"))
     parents = edges.select(F.col("parent").alias("n"))
     roots = parents.subtract(children).withColumn("depth", F.lit(0))
-    levels = [roots.localCheckpoint(eager=True)]
+    levels = [barrier(roots, "level")]
     for _ in range(max_depth):
         prev = levels[-1]
-        nxt = (
+        nxt = barrier(
             edges.join(prev, edges["parent"] == prev["n"])
-            .select(F.col("child").alias("n"), (F.col("depth") + 1).alias("depth"))
-            .localCheckpoint(eager=True)
+            .select(F.col("child").alias("n"), (F.col("depth") + 1).alias("depth")),
+            "level",
         )
         if nxt.isEmpty():
             break
@@ -76,28 +83,40 @@ def evolutionary_profiles(
     recorded when child state-sets fail to intersect, :146-155).
     """
     spark = taxonomy_edges.sparkSession
-    depths = taxonomy_depths(taxonomy_edges).localCheckpoint(eager=True)
+    # Per-level lineage truncation via IterationBarrier, NOT bare
+    # localCheckpoint chains: at taxonomy depth > ~13 a checkpoint-derived
+    # chain doubles per-task wall time each level (BENCH.md §5); the barrier's
+    # periodic parquet round-trip resets derivation depth. Accumulated frames
+    # (computed, profiles) are compacted every COMPACT_EVERY levels so union
+    # width stays bounded and superseded barrier files can be GC'd.
+    barrier = IterationBarrier("evoprofiles")
+    depths = barrier(taxonomy_depths(taxonomy_edges), "depths")
     max_depth = depths.agg(F.max("depth")).collect()[0][0]
-    edges = taxonomy_edges.select("child", "parent").dropDuplicates().localCheckpoint(eager=True)
+    edges = barrier(taxonomy_edges.select("child", "parent").dropDuplicates(), "edges")
 
-    asserted = (
+    asserted = barrier(
         state_associations.groupBy(F.col("taxon").alias("node"), F.col("character"))
-        .agg(_set_col(F.collect_set("state")).alias("states"))
-        .localCheckpoint(eager=True)
+        .agg(_set_col(F.collect_set("state")).alias("states")),
+        "asserted",
     )
 
     schema = "node string, character string, states array<string>"
     computed = spark.createDataFrame([], schema)  # filled bottom-up
-    profile_parts: list[DataFrame] = []
+    profiles = spark.createDataFrame([], schema)
     # children counts per parent (for the empty-set contribution check)
-    n_children = edges.groupBy(F.col("parent")).agg(F.countDistinct("child").alias("n_children"))
+    n_children = barrier(
+        edges.groupBy(F.col("parent")).agg(F.countDistinct("child").alias("n_children")),
+        "n_children",
+    )
 
+    COMPACT_EVERY = 6
+    levels_done = 0
     for d in range(max_depth, -1, -1):
         nodes_d = depths.where(F.col("depth") == d).select(F.col("n").alias("node"))
         if d == max_depth:
             # deepest level: all leaves -> associations are the asserted sets
             level = asserted.join(nodes_d, on="node", how="inner")
-            computed = level.localCheckpoint(eager=True)
+            computed = barrier(level, "computed")
             continue
         # children of level-d nodes already computed (they live at depth d+1)
         child_assoc = (
@@ -204,12 +223,14 @@ def evolutionary_profiles(
             "character",
             F.sort_array(F.col("profile_states")).alias("states"),
         )
-        profile_parts.append(prof.localCheckpoint(eager=True))
-        computed = computed.unionByName(level.localCheckpoint(eager=True))
+        profiles = profiles.unionByName(prof)
+        computed = barrier(computed.unionByName(level), "computed")
+        levels_done += 1
+        if levels_done % COMPACT_EVERY == 0:
+            computed = barrier.materialize(computed, "computed")
+            profiles = barrier.materialize(profiles, "profiles")
+            barrier.gc(keep=2)
 
-    profiles = profile_parts[0] if profile_parts else spark.createDataFrame([], schema)
-    for p in profile_parts[1:]:
-        profiles = profiles.unionByName(p)
     return computed, profiles
 
 

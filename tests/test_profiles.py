@@ -93,3 +93,39 @@ def test_gene_profiles(spark):
     assert ("g1#profile", vocab.RDF_TYPE, "p2") in got
     assert ("g2", vocab.HAS_PHENOTYPIC_PROFILE, "g2#profile") in got
     assert len([t for t in got if t[1] == vocab.RDF_TYPE]) == 3
+
+
+def test_evolutionary_profiles_deep_taxonomy(spark):
+    """Depth-40 caterpillar tree: regression for the checkpoint-chain
+    task-time-doubling pathology (BENCH.md §5) — under bare per-level
+    localCheckpoint this blows up past depth ~13; with IterationBarrier
+    it must finish promptly and still match the sequential oracle."""
+    depth = 40
+    edges, children_of, node_states, assoc_rows = [], {}, {}, []
+    rng = random.Random(7)
+    for i in range(1, depth + 1):
+        spine_child, spine_parent = f"n{i}", f"n{i-1}"
+        edges.append((spine_child, spine_parent))
+        children_of.setdefault(spine_parent, []).append(spine_child)
+        leaf = f"leaf{i}"
+        edges.append((leaf, spine_parent))
+        children_of.setdefault(spine_parent, []).append(leaf)
+        st = {f"s{rng.randrange(4)}"}
+        node_states[leaf] = {"ch0": st}
+        for s in st:
+            assoc_rows.append((leaf, "ch0", s))
+    # annotate the chain tip so every level participates
+    node_states[f"n{depth}"] = {"ch0": {"s0"}}
+    assoc_rows.append((f"n{depth}", "ch0", "s0"))
+
+    e_df = spark.createDataFrame(edges, ["child", "parent"])
+    a_df = spark.createDataFrame(assoc_rows, ["taxon", "character", "state"])
+    assoc, prof = profiles.evolutionary_profiles(e_df, a_df)
+
+    exp_assoc, exp_prof = pyoracle.fitch_postorder(children_of, "n0", node_states)
+    got_assoc = {(r["node"], r["character"]): set(r["states"]) for r in assoc.collect()}
+    exp_assoc_flat = {(n, c): set(s) for n, per in exp_assoc.items() for c, s in per.items() if s}
+    assert got_assoc == exp_assoc_flat
+    got_prof = {(r["node"], r["character"]): set(r["states"]) for r in prof.collect()}
+    exp_prof_flat = {(n, c): set(s) for n, per in exp_prof.items() for c, s in per.items() if s}
+    assert got_prof == exp_prof_flat
