@@ -1487,9 +1487,14 @@ SQL_DOT = "round(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {
 
 
 def q_dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
+    """X5 — contract runs the exact tiled-GEMM path (equi-joined block
+    tiles + BLAS per tile, no CartesianProduct/BNLJ in the plan); the
+    brute crossJoin twin remains only as the DuckDB oracle shape."""
     from phenoscape_owl_tools_spark.operators import dedup
 
-    return dedup.embedding_near_dups(KG.load(spark, sf_dir, "embeddings"), threshold=0.4)
+    return dedup.embedding_near_dups_gemm(
+        KG.load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
 
 
 SQL_DEDUP_EMBEDDING = f"""

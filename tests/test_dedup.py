@@ -109,3 +109,28 @@ def test_embedding_near_dups(spark):
     got = {(r["id_a"], r["id_b"]): r["cos"] for r in dedup.embedding_near_dups(emb, 0.9).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == pytest.approx(0.99 / (0.99**2 + 0.1**2) ** 0.5, abs=1e-5)
+
+
+def test_embedding_gemm_matches_brute(spark):
+    """Tiled-GEMM exact path is bitwise-identical to the crossJoin baseline
+    (same float64 math, same round-6), across a block count that forces
+    multi-tile coverage (n_blocks > 1 incl. diagonal + off-diagonal tiles)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, base))
+        if i % 7 == 0:  # planted near-dup
+            rows.append((1000 + i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r.id_a, r.id_b, r.cos)
+        for r in dedup.embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    gemm = {
+        (r.id_a, r.id_b, r.cos)
+        for r in dedup.embedding_near_dups_gemm(emb, threshold=0.4, n_blocks=5).collect()
+    }
+    assert gemm == brute and len(brute) > 0

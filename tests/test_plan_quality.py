@@ -77,3 +77,13 @@ def test_dimension_broadcasts_in_linking(spark):
     plan = _plan(spark, "normalized_predicates")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_dedup_contract_has_no_cartesian(spark):
+    """X5 contract runs the tiled-GEMM path: equi-joined block tiles only —
+    a CartesianProduct/BroadcastNestedLoopJoin here is the 100TB
+    scale-killer regression."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
