@@ -428,7 +428,12 @@ def embedding_near_dups_gemm(
                     ids_b = np.array([v["vec_id"] for v in row["vecs_b"]], dtype=np.int64)
                     m_b = _unit(np.array([v["embedding"] for v in row["vecs_b"]], dtype=np.float64))
                 sims = np.round(m_a @ m_b.T, 6)
-                ia, ib = np.where(sims >= threshold)
+                hits = sims >= threshold
+                if row["ba"] == row["bb"]:
+                    # diagonal tile: (i,j) and (j,i) canonicalize to the same
+                    # pair — emit the strict upper triangle only
+                    hits = np.triu(hits, k=1)
+                ia, ib = np.where(hits)
                 lo = np.minimum(ids_a[ia], ids_b[ib])
                 hi = np.maximum(ids_a[ia], ids_b[ib])
                 keep = lo < hi  # drop self-pairs; id_a < id_b canonical order

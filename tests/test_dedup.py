@@ -125,12 +125,14 @@ def test_embedding_gemm_matches_brute(spark):
         if i % 7 == 0:  # planted near-dup
             rows.append((1000 + i, [x + rng.uniform(-0.05, 0.05) for x in base]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    brute = {
+    # multiset compare: an accidental double-emission (e.g. both triangle
+    # halves of a diagonal tile) must fail, not vanish into a set
+    brute = sorted(
         (r.id_a, r.id_b, r.cos)
         for r in dedup.embedding_near_dups(emb, threshold=0.4).collect()
-    }
-    gemm = {
+    )
+    gemm = sorted(
         (r.id_a, r.id_b, r.cos)
         for r in dedup.embedding_near_dups_gemm(emb, threshold=0.4, n_blocks=5).collect()
-    }
+    )
     assert gemm == brute and len(brute) > 0

@@ -70,3 +70,67 @@ def test_trie_ambiguous_tokenization_resolves_to_min_iri():
     t2 = _PhraseTrie([("big toe", "iri:A"), ("big-toe", "iri:B")])
     assert t1.find(["big", "toe"]) == t2.find(["big", "toe"])
     assert t1.find(["big", "toe"])[0][3] == "iri:A"
+
+
+def test_regex_matcher_equivalent_to_trie():
+    """The compiled-regex fast path must reproduce _PhraseTrie.find exactly:
+    longest match, non-overlap, min(iri) ambiguity, multi-token phrases,
+    prefix-overlapping surfaces."""
+    import random
+
+    from phenoscape_owl_tools_spark.operators.mention import (
+        _PhraseTrie,
+        _RegexMatcher,
+        tokenize,
+    )
+
+    entries = [
+        ("big", "iri:big"),
+        ("big toe", "iri:bigtoe"),
+        ("big toe nail", "iri:bigtoenail"),
+        ("toe", "iri:toe"),
+        ("dorsal fin", "iri:dfin"),
+        ("fin", "iri:fin"),
+        ("big-toe", "iri:aaa"),  # tokenizes same as "big toe": min(iri) wins
+        ("x:y", "iri:colon"),
+        ("o'clock", "iri:apos"),
+    ]
+    trie, rx = _PhraseTrie(entries), _RegexMatcher(entries)
+    texts = [
+        "the big toe nail was bruised",
+        "big toe, and a dorsal fin; Big TOE again",
+        "bigger toes are not big toe s",
+        "x:y at o'clock",
+        "", "fin fin fin big",
+    ]
+    for text in texts:
+        assert rx.find(tokenize(text)) == trie.find(tokenize(text)), text
+
+    rng = random.Random(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "tok", "fin", "toe"]
+    dict_entries = []
+    for i in range(40):
+        phrase = " ".join(rng.choices(vocab, k=rng.randrange(1, 4)))
+        dict_entries.append((phrase, f"iri:{i:03d}"))
+    trie, rx = _PhraseTrie(dict_entries), _RegexMatcher(dict_entries)
+    for _ in range(200):
+        toks = rng.choices(vocab + ["zzz", "qqq"], k=rng.randrange(0, 30))
+        assert rx.find(toks) == trie.find(toks)
+
+
+def test_word_matcher_equivalent_to_trie():
+    from phenoscape_owl_tools_spark.operators.mention import (
+        _PhraseTrie,
+        _WordMatcher,
+        build_matcher,
+        tokenize,
+    )
+
+    entries = [("toe", "iri:toe"), ("fin", "iri:fin"), ("Fin", "iri:aaa")]
+    wm = build_matcher(entries)
+    assert isinstance(wm, _WordMatcher)
+    trie = _PhraseTrie(entries)
+    for text in ["fin toe fin", "FIN unknown toe", "", "finto toe"]:
+        assert wm.find(tokenize(text)) == trie.find(tokenize(text)), text
+    # phrase dictionaries must NOT take the word path
+    assert isinstance(build_matcher(entries + [("big toe", "x")]), _PhraseTrie)
