@@ -612,6 +612,52 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_homology_ancestral(spark, sf_dir) -> DataFrame:
+    """Ancestral-structure homology model (S3 third mode,
+    HomologyTableToOWLWithAncestralStructure.scala:51-73): 'hom to' rows
+    mint content-skolemized ancestor + evidence individuals."""
+    part = KG.load(spark, sf_dir, "part")
+    hom = part.select(
+        F.concat(F.lit("http://kg.example.org/part/"), F.col("p_partkey").cast("string")).alias("structure1"),
+        F.lit("http://kg.example.org/taxon/1").alias("taxon1"),
+        F.when(F.col("p_partkey") % 3 == 0, "not hom to")
+        .when(F.col("p_partkey") % 3 == 1, "hom to")
+        .otherwise("ser hom to").alias("relation"),
+        F.concat(F.lit("http://kg.example.org/part/"), (F.col("p_partkey") + 1).cast("string")).alias("structure2"),
+        F.lit("http://kg.example.org/taxon/2").alias("taxon2"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("ECO:0000033")).alias("evidence_code"),
+        F.concat(F.lit("PMID:"), F.col("p_partkey").cast("string")).alias("publication"),
+    )
+    return homology_op.homology_axioms_ancestral(hom)
+
+
+SQL_HOMOLOGY_ANCESTRAL = f"""
+WITH h AS (
+  SELECT 'http://kg.example.org/part/' || cast(p_partkey AS varchar) AS s1,
+         'http://kg.example.org/part/' || cast(p_partkey + 1 AS varchar) AS s2,
+         CASE WHEN p_partkey % 2 = 0 THEN 'ECO:0000033' END AS ec,
+         'PMID:' || cast(p_partkey AS varchar) AS pub
+  FROM part WHERE p_partkey % 3 = 1
+),
+u AS (
+  SELECT *,
+    '{homology_op.ANNOTATION_PREFIX}'
+      || sha256(s1 || chr(9) || 'hom to' || chr(9) || s2 || chr(9) || coalesce(ec, '') || chr(9) || pub)
+      AS ann
+  FROM h
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT s1 AS subj, '{homology_op.DERIVED_BY_DESCENT_FROM}' AS pred, ann || '#ancestor' AS obj FROM u
+  UNION ALL SELECT s2, '{homology_op.DERIVED_BY_DESCENT_FROM}', ann || '#ancestor' FROM u
+  UNION ALL SELECT ann || '#ancestor', '{homology_op.HAS_DERIVED_BY_DESCENDANT}', s1 FROM u
+  UNION ALL SELECT ann || '#ancestor', '{homology_op.HAS_DERIVED_BY_DESCENDANT}', s2 FROM u
+  UNION ALL SELECT ann || '#ancestor', '{vocab.HAS_EVIDENCE}', ann || '#evidence' FROM u WHERE ec IS NOT NULL
+  UNION ALL SELECT ann || '#evidence', '{vocab.RDF_TYPE}', '{vocab.OBO_PREFIX}' || replace(ec, ':', '_') FROM u WHERE ec IS NOT NULL
+  UNION ALL SELECT ann || '#evidence', '{homology_op.DC_SOURCE}', pub FROM u WHERE ec IS NOT NULL
+)
+"""
+
+
 def q_taxonomy_depths(spark, sf_dir) -> DataFrame:
     nation = KG.load(spark, sf_dir, "nation")
     region = KG.load(spark, sf_dir, "region")
@@ -1957,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_depths": q_taxonomy_depths,
         "evolutionary_profiles": q_evolutionary_profiles,
         "homology_axioms": q_homology,
+        "homology_ancestral": q_homology_ancestral,
         "ic_scores": q_ic_scores,
         "pairwise_similarity": q_pairwise_similarity,
         "direct_hierarchy": q_direct_hierarchy,
@@ -2023,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "taxonomy_depths": SQL_TAXONOMY_DEPTHS,
         "evolutionary_profiles": SQL_EVOLUTIONARY_PROFILES,
         "homology_axioms": SQL_HOMOLOGY,
+        "homology_ancestral": SQL_HOMOLOGY_ANCESTRAL,
         "ic_scores": SQL_IC_SCORES,
         "pairwise_similarity": SQL_PAIRWISE,
         "direct_hierarchy": SQL_DIRECT_HIERARCHY,

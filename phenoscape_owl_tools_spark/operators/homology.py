@@ -118,3 +118,74 @@ def homology_axioms(homology: DataFrame) -> DataFrame:
         .unionByName(ev.select(*t(ev_ind, F.lit("http://purl.org/dc/terms/source"), F.col("publication"))))
     )
     return fwd.unionByName(rev).unionByName(defs).unionByName(oban).dropDuplicates()
+
+
+DERIVED_BY_DESCENT_FROM = "http://purl.obolibrary.org/obo/RO_0002156"
+HAS_DERIVED_BY_DESCENDANT = "http://purl.obolibrary.org/obo/RO_0002157"
+DC_SOURCE = "http://purl.org/dc/terms/source"
+
+
+def homology_axioms_ancestral(homology: DataFrame) -> DataFrame:
+    """Ancestral-structure homology model
+    (HomologyTableToOWLWithAncestralStructure.scala:51-73).
+
+    For each positive historical-homology row ('hom to' ONLY — the reference
+    skips serial and negated assertions, :69-72), mint an ancestral-structure
+    individual and an evidence individual and emit the 7-axiom subgraph as
+    triples:
+
+    - (anc, has_evidence, ev)                       [:61]
+    - (sX, derived_by_descent_from, anc) for X=1,2  [:62-63 — triple
+      encoding of SubClassOf(sX, RO_0002156 value anc)]
+    - (anc, has_derived_by_descendant, sX)          [:64-65 — triple
+      encoding of Type(anc, RO_0002157 some sX)]
+    - (ev, rdf:type, evidenceCode)                  [:66]
+    - (ev, dc:source, publication)                  [:67]
+
+    The reference mints both individuals with ``UUID.randomUUID`` (:57-59);
+    we use content-derived skolems (uid = sha256 of the canonical row) per
+    the engine determinism contract, so re-runs and re-partitions emit
+    identical triples. Evidence triples require a non-null evidence_code;
+    the structure axioms are emitted regardless.
+    """
+    h = homology.select(
+        F.trim("structure1").alias("s1"),
+        F.trim("structure2").alias("s2"),
+        F.trim("relation").alias("rel"),
+        F.col("evidence_code"),
+        F.col("publication"),
+    ).where(F.col("rel") == "hom to").withColumn(
+        "uid",
+        F.sha2(
+            F.concat_ws(
+                "\t", "s1", "rel", "s2", F.coalesce("evidence_code", F.lit("")), "publication"
+            ),
+            256,
+        ),
+    ).withColumn(
+        "anc", F.concat(F.lit(ANNOTATION_PREFIX), F.col("uid"), F.lit("#ancestor"))
+    ).withColumn(
+        "ev", F.concat(F.lit(ANNOTATION_PREFIX), F.col("uid"), F.lit("#evidence"))
+    )
+
+    def t(subj, pred, obj):
+        return [subj.alias("subj"), pred.alias("pred"), obj.alias("obj")]
+
+    structure = (
+        h.select(*t(F.col("s1"), F.lit(DERIVED_BY_DESCENT_FROM), F.col("anc")))
+        .unionByName(h.select(*t(F.col("s2"), F.lit(DERIVED_BY_DESCENT_FROM), F.col("anc"))))
+        .unionByName(h.select(*t(F.col("anc"), F.lit(HAS_DERIVED_BY_DESCENDANT), F.col("s1"))))
+        .unionByName(h.select(*t(F.col("anc"), F.lit(HAS_DERIVED_BY_DESCENDANT), F.col("s2"))))
+    )
+    withev = h.where(F.col("evidence_code").isNotNull())
+    evidence = (
+        withev.select(*t(F.col("anc"), F.lit(vocab.HAS_EVIDENCE), F.col("ev")))
+        .unionByName(
+            withev.select(
+                *t(F.col("ev"), F.lit(vocab.RDF_TYPE),
+                   iri_fn.obo_iri_for_term_id(F.col("evidence_code")))
+            )
+        )
+        .unionByName(withev.select(*t(F.col("ev"), F.lit(DC_SOURCE), F.col("publication"))))
+    )
+    return structure.unionByName(evidence).dropDuplicates()

@@ -39,3 +39,36 @@ def test_homology_determinism(spark, corpus):
     a = {(r["subj"], r["pred"], r["obj"]) for r in homology.homology_axioms(h).collect()}
     b = {(r["subj"], r["pred"], r["obj"]) for r in homology.homology_axioms(h.repartition(7)).collect()}
     assert a == b
+
+
+def test_ancestral_structure_model(spark):
+    """HomologyTableToOWLWithAncestralStructure.scala:51-73: only 'hom to'
+    rows produce axioms; 7-triple subgraph per evidence-bearing row,
+    4-triple without evidence; skolems are content-derived."""
+    rows = [
+        ("u:a", "t:1", "hom to", "u:b", "t:2", "ECO:0000033", "PMID:1"),
+        ("u:c", "t:1", "hom to", "u:d", "t:2", None, "PMID:2"),
+        ("u:e", "t:1", "not hom to", "u:f", "t:2", "ECO:0000033", "PMID:3"),
+        ("u:g", "t:1", "ser hom to", "u:h", "t:2", "ECO:0000033", "PMID:4"),
+    ]
+    cols = ["structure1", "taxon1", "relation", "structure2", "taxon2", "evidence_code", "publication"]
+    df = spark.createDataFrame(rows, cols)
+    got = [(r.subj, r.pred, r.obj) for r in homology.homology_axioms_ancestral(df).collect()]
+    assert len(got) == 7 + 4  # evidence row: 7; no-evidence row: 4; others: 0
+    by_pred = {}
+    for s, p, o in got:
+        by_pred.setdefault(p, []).append((s, o))
+    assert len(by_pred[homology.DERIVED_BY_DESCENT_FROM]) == 4
+    assert len(by_pred[homology.HAS_DERIVED_BY_DESCENDANT]) == 4
+    assert len(by_pred[vocab.HAS_EVIDENCE]) == 1
+    assert len(by_pred[homology.DC_SOURCE]) == 1
+    (ev_s, ev_o), = by_pred[vocab.HAS_EVIDENCE]
+    assert ev_s.endswith("#ancestor") and ev_o.endswith("#evidence")
+    # evidence typed with the OBO-expanded code
+    assert any(
+        o == "http://purl.obolibrary.org/obo/ECO_0000033"
+        for s, o in by_pred[vocab.RDF_TYPE]
+    )
+    # determinism: re-run emits the identical triple set
+    again = [(r.subj, r.pred, r.obj) for r in homology.homology_axioms_ancestral(df).collect()]
+    assert sorted(got) == sorted(again)
