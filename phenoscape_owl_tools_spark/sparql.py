@@ -1,0 +1,318 @@
+"""Minimal SPARQL frontend over (subj, pred, obj) triple DataFrames.
+
+The reference pipeline runs arbitrary SPARQL files against its triple store
+(RunSPARQLQuery.scala:1-30, RunSPARQLConstruct.scala, RunSPARQLUpdate.scala);
+this module covers the language subset its shipped queries actually use
+(src/main/sparql/*.rq):
+
+- ``PREFIX`` declarations, ``SELECT ?v ...`` and ``CONSTRUCT { ... }`` forms,
+- basic graph patterns: IRIs (``<...>`` or prefixed names), variables,
+  ``a`` for rdf:type,
+- property paths: sequence ``p/q`` and star ``p*``,
+- ``FILTER(isIRI(?v))``,
+- ``FROM <graph>`` (ignored — the input DataFrame IS the graph).
+
+Path semantics follow the engine's KB-build convention rather than strict
+SPARQL 1.1 zero-length-path semantics: a *bare* starred pattern
+(``?s p* ?o``) evaluates to the transitive closure WITHOUT trivial (x, x)
+pairs — matching the materialized `subclass_closure` convention — while a
+star in sequence position (``p/q*``) includes the zero-length hop
+(``R_p ∪ R_p ∘ TC(q)``), matching `instance_closure`
+(profile_instance_closure_construct.rq:11). Deviation is documented here
+because the reference consumes these queries against a reasoner-materialized
+store where the distinction is already baked in.
+
+Evaluation is pure DataFrame composition: each triple pattern becomes a
+filtered projection of the triple table, patterns join on shared variables
+(Catalyst picks broadcast vs shuffle), star paths reuse
+``operators.closure.transitive_closure`` (semi-naive, barrier-checkpointed).
+No driver-side row iteration — results stay distributed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_IRI_RE = r"<[^<>\s]*>"
+_PNAME_RE = r"[A-Za-z][\w.-]*:[\w.-]*"
+_VAR_RE = r"\?[A-Za-z_]\w*"
+_TOKEN_RE = re.compile(
+    rf"({_IRI_RE}|{_VAR_RE}|{_PNAME_RE}|[{{}}()./*]|[A-Za-z_]\w*)"
+)
+# matches an absolute IRI (scheme://... or urn:-style); used for isIRI()
+_IS_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+@dataclass(frozen=True)
+class Term:
+    kind: str  # 'iri' | 'var'
+    value: str
+
+
+@dataclass(frozen=True)
+class PathElem:
+    iri: str
+    star: bool
+
+
+@dataclass(frozen=True)
+class Pattern:
+    subj: Term
+    path: tuple[PathElem, ...] | Term  # Term only for a variable predicate
+    obj: Term
+
+
+@dataclass
+class Query:
+    form: str  # 'select' | 'construct'
+    projection: list[str]  # select vars, in order
+    template: list[tuple[Term, Term, Term]]  # construct template triples
+    patterns: list[Pattern]
+    iri_filters: list[str]  # var names under FILTER(isIRI(?v))
+
+
+def _strip_comments(text: str) -> str:
+    out_lines = []
+    for ln in text.splitlines():
+        in_iri = False
+        for i, ch in enumerate(ln):
+            if ch == "<":
+                in_iri = True
+            elif ch == ">":
+                in_iri = False
+            elif ch == "#" and not in_iri:
+                ln = ln[:i]
+                break
+        out_lines.append(ln)
+    return "\n".join(out_lines)
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        text = _strip_comments(text)
+        self.prefixes: dict[str, str] = {}
+        for m in re.finditer(
+            rf"(?i)\bPREFIX\s+([A-Za-z][\w-]*)?\s*:\s*<([^>]*)>", text
+        ):
+            self.prefixes[m.group(1) or ""] = m.group(2)
+        body = re.sub(rf"(?i)\bPREFIX\s+[\w-]*\s*:\s*<[^>]*>", " ", text)
+        body = re.sub(rf"(?i)\bFROM\s+(NAMED\s+)?<[^>]*>", " ", body)
+        self.toks = _tokens(body)
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got.lower() != tok.lower():
+            raise ValueError(f"SPARQL parse: expected {tok!r}, got {got!r}")
+
+    def resolve(self, tok: str) -> str:
+        if tok.startswith("<"):
+            return tok[1:-1]
+        pfx, _, local = tok.partition(":")
+        if pfx not in self.prefixes:
+            raise ValueError(f"SPARQL parse: unknown prefix {pfx!r} in {tok!r}")
+        return self.prefixes[pfx] + local
+
+    def term(self) -> Term:
+        tok = self.next()
+        if tok.startswith("?"):
+            return Term("var", tok[1:])
+        if tok == "a":
+            return Term("iri", RDF_TYPE)
+        return Term("iri", self.resolve(tok))
+
+    def path(self) -> tuple[PathElem, ...] | Term:
+        first = self.term()
+        if first.kind == "var" and self.peek() not in ("/", "*"):
+            return first  # variable predicate
+        elems = []
+        cur = first
+        while True:
+            if cur.kind != "iri":
+                raise ValueError("SPARQL parse: variables not allowed inside paths")
+            star = False
+            if self.peek() == "*":
+                self.next()
+                star = True
+            elems.append(PathElem(cur.value, star))
+            if self.peek() == "/":
+                self.next()
+                cur = self.term()
+            else:
+                return tuple(elems)
+
+    def group(self) -> tuple[list[Pattern], list[str]]:
+        self.expect("{")
+        patterns: list[Pattern] = []
+        filters: list[str] = []
+        while self.peek() is not None and self.peek() != "}":
+            if self.peek().lower() == "filter":
+                self.next()
+                self.expect("(")
+                fn = self.next()
+                if fn.lower() != "isiri":
+                    raise ValueError(f"SPARQL parse: unsupported FILTER {fn!r}")
+                self.expect("(")
+                var = self.next()
+                if not var.startswith("?"):
+                    raise ValueError("SPARQL parse: FILTER(isIRI(..)) needs a var")
+                filters.append(var[1:])
+                self.expect(")")
+                self.expect(")")
+            else:
+                subj = self.term()
+                path = self.path()
+                obj = self.term()
+                patterns.append(Pattern(subj, path, obj))
+            if self.peek() == ".":
+                self.next()
+        self.expect("}")
+        return patterns, filters
+
+    def parse(self) -> Query:
+        form = self.next().lower()
+        if form == "select":
+            projection = []
+            if self.peek() and self.peek().lower() == "distinct":
+                self.next()
+            while self.peek() and self.peek().startswith("?"):
+                projection.append(self.next()[1:])
+            self.expect("where")
+            patterns, filters = self.group()
+            return Query("select", projection, [], patterns, filters)
+        if form == "construct":
+            self.expect("{")
+            template = []
+            while self.peek() != "}":
+                s, p, o = self.term(), self.term(), self.term()
+                template.append((s, p, o))
+                if self.peek() == ".":
+                    self.next()
+            self.expect("}")
+            if self.peek() and self.peek().lower() == "where":
+                self.next()
+            patterns, filters = self.group()
+            return Query("construct", [], template, patterns, filters)
+        raise ValueError(f"SPARQL parse: unsupported query form {form!r}")
+
+
+def parse(text: str) -> Query:
+    return _Parser(text).parse()
+
+
+def _path_relation(triples: DataFrame, path: tuple[PathElem, ...]) -> DataFrame:
+    """Evaluate a property path to a binary relation (s, o)."""
+    from phenoscape_owl_tools_spark.operators.closure import transitive_closure
+
+    rel: DataFrame | None = None
+    for elem in path:
+        edges = triples.where(F.col("pred") == elem.iri).select(
+            F.col("subj").alias("s"), F.col("obj").alias("o")
+        )
+        if elem.star:
+            step = transitive_closure(
+                edges.withColumnRenamed("s", "sub").withColumnRenamed("o", "sup")
+            ).select(F.col("sub").alias("s"), F.col("sup").alias("o"))
+        else:
+            step = edges
+        if rel is None:
+            # leading elem; for a bare star this is the closure WITHOUT
+            # trivial reflexive pairs (KB-build convention, module docstring)
+            rel = step
+        else:
+            nxt = step.select(F.col("s").alias("m"), F.col("o").alias("o2"))
+            composed = (
+                rel.join(nxt, rel["o"] == nxt["m"])
+                .select("s", F.col("o2").alias("o"))
+            )
+            if elem.star:
+                # zero-length hop allowed mid-sequence: R ∪ R ∘ TC(q)
+                rel = rel.unionByName(composed).dropDuplicates()
+            else:
+                rel = composed
+    assert rel is not None
+    return rel
+
+
+def _bindings(triples: DataFrame, pat: Pattern) -> DataFrame:
+    """One pattern -> DataFrame whose columns are the pattern's variables."""
+    if isinstance(pat.path, Term):  # variable predicate
+        rel = triples.select(
+            F.col("subj").alias("s"), F.col("pred").alias("p"), F.col("obj").alias("o")
+        )
+        cols = {"s": pat.subj, "p": pat.path, "o": pat.obj}
+    else:
+        rel = _path_relation(triples, pat.path)
+        cols = {"s": pat.subj, "o": pat.obj}
+    out_cols = []
+    for src, term in cols.items():
+        if term.kind == "var":
+            out_cols.append(F.col(src).alias(term.value))
+        else:
+            rel = rel.where(F.col(src) == term.value)
+    if not out_cols:
+        out_cols = [F.lit(1).alias("__const__")]
+    return rel.select(*out_cols).dropDuplicates()
+
+
+def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
+    """Run a parsed (or raw-text) query against a (subj, pred, obj) frame.
+
+    SELECT returns the projected variable columns (names without '?');
+    CONSTRUCT returns a distinct (subj, pred, obj) frame.
+    """
+    if isinstance(query, str):
+        query = parse(query)
+    if not query.patterns:
+        raise ValueError("SPARQL evaluate: empty graph pattern")
+    bound: DataFrame | None = None
+    for pat in query.patterns:
+        b = _bindings(triples, pat)
+        if bound is None:
+            bound = b
+        else:
+            shared = sorted(set(bound.columns) & set(b.columns))
+            bound = bound.join(b, on=shared) if shared else bound.crossJoin(b)
+    assert bound is not None
+    for var in query.iri_filters:
+        if var in bound.columns:
+            bound = bound.where(F.col(var).rlike(_IS_IRI_RE))
+    if query.form == "select":
+        return bound.select(*query.projection)
+
+    def _tcol(term: Term, alias: str):
+        return (
+            F.col(term.value) if term.kind == "var" else F.lit(term.value)
+        ).alias(alias)
+
+    parts = [
+        bound.select(_tcol(s, "subj"), _tcol(p, "pred"), _tcol(o, "obj"))
+        for s, p, o in query.template
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
+def run_file(triples: DataFrame, path: str) -> DataFrame:
+    with open(path, "r", encoding="utf-8") as fh:
+        return evaluate(triples, fh.read())

@@ -15,7 +15,9 @@ from tests.conftest import SF001
 
 
 def _plan(spark, name: str, mode: str = "formatted") -> str:
-    df = entrymod.queries()[name](spark, SF001)
+    # component queries merged out of the registry stay reachable as q_<name>
+    fn = entrymod.queries().get(name) or getattr(entrymod, f"q_{name}")
+    df = fn(spark, SF001)
     jvm = spark._jvm
     return df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)

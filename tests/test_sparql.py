@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from phenoscape_owl_tools_spark import sparql, vocab
+
+QDIR = os.path.join(
+    os.path.dirname(sparql.__file__), "sparql_queries"
+)
+
+RDFS_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_parse_select():
+    q = sparql.parse(open(os.path.join(QDIR, "scores.rq")).read())
+    assert q.form == "select"
+    assert q.projection == ["match", "score", "query", "corpusprofile"]
+    assert len(q.patterns) == 3
+    assert all(isinstance(p.path, tuple) and not p.path[0].star for p in q.patterns)
+
+
+def test_parse_construct_paths():
+    q = sparql.parse(open(os.path.join(QDIR, "instance_closure.rq")).read())
+    assert q.form == "construct"
+    assert q.template == [
+        (
+            sparql.Term("var", "ind"),
+            sparql.Term("iri", sparql.RDF_TYPE),
+            sparql.Term("var", "cls"),
+        )
+    ]
+    seq = q.patterns[0].path
+    assert [e.iri for e in seq] == [sparql.RDF_TYPE, RDFS_SUB]
+    assert [e.star for e in seq] == [False, True]
+    assert q.iri_filters == ["cls"]
+
+
+def test_select_bgp_join(spark):
+    t = _triples(
+        spark,
+        [
+            ("m1", vocab.COMBINED_SCORE, "0.5"),
+            ("m1", vocab.FOR_QUERY_PROFILE, "http://x/q1"),
+            ("m1", vocab.FOR_CORPUS_PROFILE, "http://x/c1"),
+            ("m2", vocab.COMBINED_SCORE, "0.9"),  # missing profile links
+        ],
+    )
+    got = sparql.run_file(t, os.path.join(QDIR, "scores.rq")).collect()
+    assert [tuple(r) for r in got] == [("m1", "0.5", "http://x/q1", "http://x/c1")]
+
+
+def test_construct_bare_star(spark):
+    t = _triples(
+        spark,
+        [
+            ("http://x/a", RDFS_SUB, "http://x/b"),
+            ("http://x/b", RDFS_SUB, "http://x/c"),
+            ("http://x/lit", RDFS_SUB, "not an iri"),
+        ],
+    )
+    got = {
+        (r.subj, r.obj)
+        for r in sparql.run_file(t, os.path.join(QDIR, "subclass_closure.rq")).collect()
+    }
+    # transitive pairs, no trivial reflexive rows, literal object filtered
+    assert got == {
+        ("http://x/a", "http://x/b"),
+        ("http://x/b", "http://x/c"),
+        ("http://x/a", "http://x/c"),
+    }
+
+
+def test_construct_sequence_star_and_typed_class(spark):
+    rows = [
+        ("http://x/i1", sparql.RDF_TYPE, "http://x/A"),
+        ("http://x/A", RDFS_SUB, "http://x/B"),
+        ("http://x/A", sparql.RDF_TYPE, OWL_CLASS),
+        ("http://x/B", sparql.RDF_TYPE, OWL_CLASS),
+        ("http://x/h", vocab.HAS_PHENOTYPIC_PROFILE, "http://x/i1"),
+        # i2 typed but has no profile link -> excluded
+        ("http://x/i2", sparql.RDF_TYPE, "http://x/A"),
+    ]
+    got = {
+        (r.subj, r.obj)
+        for r in sparql.run_file(
+            _triples(spark, rows), os.path.join(QDIR, "instance_closure.rq")
+        ).collect()
+    }
+    # zero-length hop: direct type kept; one-hop closure adds B
+    assert got == {("http://x/i1", "http://x/A"), ("http://x/i1", "http://x/B")}
+
+
+def test_variable_predicate(spark):
+    t = _triples(spark, [("http://x/s", "http://x/p", "http://x/o")])
+    got = sparql.evaluate(
+        t,
+        "SELECT ?p WHERE { <http://x/s> ?p <http://x/o> . }",
+    ).collect()
+    assert [r.p for r in got] == ["http://x/p"]
+
+
+def test_sparql_subclass_closure_matches_hand_built(spark):
+    """The shipped .rq over the KG's subclass edges must produce exactly the
+    hand-built q_subclass_closure rows (VERDICT round-1 item 8 'done'
+    criterion)."""
+    import __spark_entry__ as entrymod
+    from phenoscape_owl_tools_spark.sources import tpch_kg as KG
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    t = KG.subclass_edges(docs).select(
+        F.col("sub").alias("subj"), F.lit(RDFS_SUB).alias("pred"), F.col("sup").alias("obj")
+    )
+    got = {
+        (r.subj, r.obj)
+        for r in sparql.run_file(t, os.path.join(QDIR, "subclass_closure.rq")).collect()
+    }
+    want = {
+        (r.sub, r.sup)
+        for r in entrymod.queries()["subclass_closure"](spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
