@@ -42,14 +42,15 @@ HEADLINE = [
     "canonical_mentions",
     "evolutionary_profiles",
     "homology_axioms",
+    "homology_ancestral",
     "pairwise_similarity",
     "gene_profiles",
     "eq_composition",
     "property_chains",
+    "sparql_subclass_closure",
     "events_sessions",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
     "events_hourly",
 ]
 
@@ -60,14 +61,12 @@ PIPELINE_OPS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
     "ann_lsh_topk",
     "language_id",
     "quality_score",
-    "bpe_token_count",
-    "rolling_fingerprint",
+    "token_stats",
+    "fingerprints",
     "media_features",
-    "token_count",
 ]
 
 
@@ -119,6 +118,68 @@ def run_headline(sf_dir: str, names: list[str] | None = None) -> dict:
     }
     spark.stop()
     return result
+
+
+# ---------------------------------------------------------------------------
+# closure at 10x ontology scale (BENCH.md §4): B-ary DAG, restrictions on
+# a slice of nodes — is wall time within 2x of linear extrapolation?
+# ---------------------------------------------------------------------------
+
+def closure_scale_main() -> None:
+    from pyspark.sql import functions as F
+
+    from phenoscape_owl_tools_spark.operators.closure import transitive_closure
+    from phenoscape_owl_tools_spark.session import get_spark
+
+    spark = get_spark("bench-closure-scale")
+
+    def dag_edges(n_nodes: int, branching: int = 10):
+        """Deterministic B-ary tree DAG + a second cross-parent on every
+        3rd node (makes it a DAG, not a tree: non-linear join paths)."""
+        base = spark.range(1, n_nodes).select(
+            F.concat(F.lit("n"), F.col("id")).alias("sub"),
+            F.concat(F.lit("n"), (F.col("id") / branching).cast("long")).alias("sup"),
+        )
+        cross = (
+            spark.range(3, n_nodes, 3)
+            .where((F.col("id") / branching).cast("long") > 0)
+            .select(
+                F.concat(F.lit("n"), F.col("id")).alias("sub"),
+                F.concat(
+                    F.lit("n"), ((F.col("id") / branching).cast("long") - 1)
+                ).alias("sup"),
+            )
+        )
+        return base.unionByName(cross)
+
+    def restrictions(n_nodes: int, every: int = 50):
+        return spark.range(0, n_nodes, every).select(
+            F.concat(F.lit("r"), F.col("id")).alias("iri"),
+            F.lit("http://kg.example.org/prop/part_of").alias("prop"),
+            F.concat(F.lit("n"), F.col("id")).alias("filler"),
+        )
+
+    report = {}
+    for label, n_nodes in (("small", 150_000), ("large", 1_500_000)):
+        edges = dag_edges(n_nodes)
+        n_edges = edges.count()
+        t0 = time.perf_counter()
+        n_closure = transitive_closure(edges, restrictions=restrictions(n_nodes)).count()
+        dt = time.perf_counter() - t0
+        report[label] = {
+            "edges": n_edges,
+            "closure_rows": n_closure,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_closure / dt, 1),
+        }
+    ratio_work = report["large"]["closure_rows"] / report["small"]["closure_rows"]
+    ratio_time = report["large"]["sec"] / report["small"]["sec"]
+    report["work_ratio"] = round(ratio_work, 2)
+    report["time_ratio"] = round(ratio_time, 2)
+    # pass criterion: time grows at most 2x faster than output size
+    report["within_2x_linear"] = bool(ratio_time <= 2 * ratio_work)
+    spark.stop()
+    print(json.dumps(report))
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +278,9 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         scaling_main(sf_dir)
+        return
+    if "--closure-scale" in sys.argv:
+        closure_scale_main()
         return
     print(json.dumps(run_headline(sf_dir)))
 

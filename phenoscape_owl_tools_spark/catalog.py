@@ -114,10 +114,16 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
     the distributed-friendly equivalent: one row per statement, pure
     ``concat_ws``, trivially written with ``text`` format).
 
-    IRIs are wrapped in angle brackets; objects that are not IRIs (no
-    scheme) are emitted as escaped literals.
+    IRIs are wrapped in angle brackets; objects that are not IRIs are
+    emitted as escaped literals. IRI detection requires an *absolute* IRI
+    with authority/path ("scheme://...") — a bare scheme-like prefix is NOT
+    enough, because CURIE-style literal values (e.g. publication ids like
+    'PMID:123') would otherwise be emitted as relative <PMID:123> terms,
+    which is not round-trip-safe N-Triples. Callers with genuinely
+    scheme-only IRIs (urn:, mailto:) should pre-expand them or carry an
+    explicit literal marker column.
     """
-    is_iri = F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    is_iri = F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
     # STRING_LITERAL_QUOTED escaping: backslash first, then quote and the
     # control characters the grammar forbids raw (\n \r \t)
     escaped = F.col("obj")

@@ -360,8 +360,12 @@ def run(
     # fingerprint would happily serve corpus A's cached stages for corpus B.
     # One cheap checksum pass per input table at pipeline start (the
     # order-insensitive xxhash64 sum catalog.content_checksum provides).
+    # Skipped entirely when no out_dir: without persisted manifests the
+    # fingerprint is never stored or compared, so the scans would be waste.
+    # (With out_dir but resume=False it still runs: the manifests written
+    # this run are what a FUTURE resume=True run validates against.)
     content_parts = []
-    for name, df in (
+    for name, df in [] if out_path is None else (
         ("documents", inputs.documents),
         ("terms", inputs.terms),
         ("synonyms", inputs.synonyms),

@@ -79,18 +79,25 @@ def run_incremental_ingest(
 ) -> None:
     """Drain all available document files into per-batch triple partitions.
 
-    `foreachBatch` + `partition=batch` overwrite = idempotent under retry;
-    resume is the stream checkpoint (processed files are not re-read).
+    `foreachBatch` + content-keyed partition overwrite = idempotent under
+    retry AND under checkpoint loss: the partition key is an
+    order-insensitive fingerprint of the batch's triples, not the micro-batch
+    id — if the checkpointLocation is deleted and batch ids restart at 0, a
+    re-ingest of the same files rewrites the same partitions byte-identically
+    instead of silently overwriting unrelated earlier batches. Resume is the
+    stream checkpoint (processed files are not re-read).
     """
     docs = read_document_stream(spark, documents_path, schema, max_files_per_trigger)
     triples = streaming_mention_triples(spark, docs, dictionary, predicate)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.dropDuplicates()
-            .write.mode("overwrite")
-            .parquet(f"{out_path}/batch={batch_id}")
-        )
+        from phenoscape_owl_tools_spark.catalog import content_checksum
+
+        batch_df = batch_df.dropDuplicates().localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return  # nothing to write; avoids colliding empty-batch keys
+        key = format(content_checksum(batch_df) & 0xFFFFFFFFFFFFFFFF, "016x")
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch={key}")
 
     (
         triples.writeStream.foreachBatch(sink)
@@ -185,7 +192,10 @@ def _sessionize_group(
             closed.append((user_id, start, last, n, True))
             start, last, n = t, t, 1
         else:
-            last, n = max(last, t), n + 1
+            # a late event earlier than the open session's start must also
+            # lower session_start: the reported span covers every folded
+            # event's event-time, not just arrival order
+            start, last, n = min(start, t), max(last, t), n + 1
     if start is not None:
         state.update((start, last, n))
         if idle_timeout:
