@@ -2154,6 +2154,62 @@ FROM events GROUP BY 1, 2
 _GENERATOR_AXIOM_PARTS = None  # populated after SQL constants exist
 
 
+def q_nexml_cells(spark, sf_dir) -> DataFrame:
+    """S1 real-XML path: deterministic NeXML synthesized per document row,
+    parsed back by sources/nexml (mapInPandas xml.etree), cell subgraph
+    emitted as triples — the oracle predicts them from the same columns."""
+    from phenoscape_owl_tools_spark.sources import nexml as nexml_src
+
+    docs = KG.load(spark, sf_dir, "documents")
+    first_word = F.split(F.col("text"), " ").getItem(0)
+    state = F.concat(F.lit("s"), (F.size(F.split(F.col("text"), " ")) % 3).cast("string"))
+    xml = F.concat(
+        F.lit(
+            '<nexml xmlns="http://www.nexml.org/2009">'
+            '<otus id="ot"><otu id="o1">'
+            '<meta href="http://kg.example.org/term/'
+        ),
+        first_word,
+        F.lit(
+            '"/></otu></otus>'
+            '<characters id="ch"><format><states id="st">'
+            '<state id="s0"/><state id="s1"/><state id="s2"/></states>'
+            '<char id="c1" states="st"/></format>'
+            '<matrix><row id="r1" otu="o1"><cell char="c1" state="'
+        ),
+        state,
+        F.lit('"/></row></matrix></characters></nexml>'),
+    )
+    nx = docs.select(F.col("doc_id").cast("string").alias("doc_id"), xml.alias("xml"))
+    return nexml_src.nexml_triples(nexml_src.parse_nexml(nx))
+
+
+def _sql_nexml_cells() -> str:
+    from phenoscape_owl_tools_spark.sources import nexml as nexml_src
+
+    P = nexml_src.MATRIX_PREFIX
+    return f"""
+WITH d AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         string_split(text, ' ')[1] AS w1,
+         's' || cast(len(string_split(text, ' ')) % 3 AS varchar) AS st
+  FROM documents
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT '{P}' || doc_id || '#cell-o1-c1' AS subj, '{vocab.RDF_TYPE}' AS pred,
+         '{nexml_src.STANDARD_CELL}' AS obj FROM d
+  UNION ALL SELECT '{P}' || doc_id || '#cell-o1-c1', '{nexml_src.BELONGS_TO_CHARACTER}',
+         '{P}' || doc_id || '#c1' FROM d
+  UNION ALL SELECT '{P}' || doc_id || '#cell-o1-c1', '{nexml_src.BELONGS_TO_TU}',
+         '{P}' || doc_id || '#o1' FROM d
+  UNION ALL SELECT '{P}' || doc_id || '#cell-o1-c1', '{nexml_src.HAS_STATE}',
+         '{P}' || doc_id || '#' || st FROM d
+  UNION ALL SELECT 'http://kg.example.org/term/' || w1, '{vocab.EXHIBITS_STATE}',
+         '{P}' || doc_id || '#' || st FROM d
+)
+"""
+
+
 def q_generator_axioms(spark, sf_dir) -> DataFrame:
     """P1/P2/P3/P8/P9/P13/P14 + EQ annotation triples (P7) — all
     triple-shaped generator outputs, discriminated by `kind`."""
@@ -2236,7 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "mention_triples": q_mention_triples,
-        "mentions_count": q_mentions_count,
+        "nexml_cells": q_nexml_cells,
         "subclass_closure": q_subclass_closure,
         "presence_query": q_presence,
         "absence_query": q_absence,
@@ -2327,7 +2383,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "mention_triples": SQL_MENTION_TRIPLES,
-        "mentions_count": SQL_MENTIONS_COUNT,
+        "nexml_cells": _sql_nexml_cells(),
         "subclass_closure": SQL_SUBCLASS_CLOSURE,
         "presence_query": SQL_PRESENCE,
         "absence_query": SQL_ABSENCE,

@@ -191,6 +191,13 @@ def direct_hierarchy(closure: DataFrame) -> DataFrame:
 
     Mirrors OWLsim.scala:175-198 extracting direct super/subclass relations
     from the reasoner taxonomy (C6).
+
+    Cost guard: the two-hop intermediate is the number of length-2 paths in
+    the closure — O(|C| * avg-ancestor-fanout), i.e. quadratic in depth for
+    chain-heavy graphs. Fine for a bounded TBox (OBO ontologies: |C| ~ 1e7,
+    fanout ~ 40); for wider inputs compute it per-partition-bucketed on the
+    join key (``sup``/``sub`` co-bucketing) or derive direct edges from the
+    asserted graph before closing instead.
     """
     c = _edges(closure)
     two_hop = (
