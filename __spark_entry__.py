@@ -10,8 +10,11 @@ functions (phenoscape_owl_tools_spark/sources/tpch_kg.py) so the oracle can
 recompute them exactly. Float outputs are rounded identically on both sides;
 all computed columns are aliased identically.
 
-61 queries, all oracle-paired (including the iterative Fitch profile via a
-fixed-depth unrolled SQL oracle). Operator-ID → query-key map: SURVEY.md §8.
+50 queries, all oracle-paired (including the iterative Fitch profile via a
+fixed-depth unrolled SQL oracle) — sized to the harness's ~50-entry sampling
+window by merging same-shaped generator/textstat outputs into
+kind-discriminated union entries (q_generator_axioms etc.); the component
+q_* functions remain importable. Operator-ID → query-key map: SURVEY.md §8.
 """
 
 from __future__ import annotations
@@ -2100,18 +2103,36 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS bigint) AS k FROM eve
 """
 
 
+def _det_avg(col: str):
+    """Order-deterministic float average: ascending sequential fold.
+
+    Partition-order float summation makes round(avg(x), k) flip when the
+    true average sits on a rounding boundary (observed: one user's avg
+    differs in the 4th decimal between local[4] and local[8]). Folding the
+    sorted value list gives a bitwise-reproducible IEEE sum on any
+    partitioning; the DuckDB oracle mirrors it with sum(x ORDER BY x).
+    """
+    total = F.aggregate(
+        F.sort_array(F.collect_list(F.col(col).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.count("*")
+
+
 def q_events_user_stats(spark, sf_dir) -> DataFrame:
     ev = KG.load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value") + F.lit(0.0), 4).alias("avg_value"),
+        F.round(_det_avg("value") + F.lit(0.0), 4).alias("avg_value"),
         F.round(F.max("value") + F.lit(0.0), 2).alias("max_value"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
 
 SQL_EVENTS_USER_STATS = """
-SELECT user_id, count(*) AS n, round(avg(value) + 0.0, 4) AS avg_value,
+SELECT user_id, count(*) AS n,
+       round(sum(value ORDER BY value) / count(*) + 0.0, 4) AS avg_value,
        round(max(value) + 0.0, 2) AS max_value,
        count(DISTINCT event_type) AS n_types
 FROM events GROUP BY 1
@@ -2127,14 +2148,14 @@ def q_events_hourly(spark, sf_dir) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value") + F.lit(0.0), 4).alias("avg_value"),
+            F.round(_det_avg("value") + F.lit(0.0), 4).alias("avg_value"),
         )
     )
 
 
 SQL_EVENTS_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-       count(*) AS n, round(avg(value) + 0.0, 4) AS avg_value
+       count(*) AS n, round(sum(value ORDER BY value) / count(*) + 0.0, 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
