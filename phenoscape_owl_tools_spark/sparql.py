@@ -10,7 +10,11 @@ this module covers the language subset its shipped queries actually use
   ``a`` for rdf:type,
 - property paths: sequence ``p/q`` and star ``p*``,
 - ``FILTER(isIRI(?v))``,
-- ``FROM <graph>`` (ignored — the input DataFrame IS the graph).
+- ``FROM <graph>`` (ignored — the input DataFrame IS the graph),
+- SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
+  ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
+  — functional (the updated graph is returned), covering the reference's
+  ``RunSPARQLUpdate`` tool.
 
 Path semantics follow the engine's KB-build convention rather than strict
 SPARQL 1.1 zero-length-path semantics: a *bare* starred pattern
@@ -70,11 +74,14 @@ class Pattern:
 
 @dataclass
 class Query:
-    form: str  # 'select' | 'construct'
+    form: str  # 'select' | 'construct' | 'update'
     projection: list[str]  # select vars, in order
     template: list[tuple[Term, Term, Term]]  # construct template triples
     patterns: list[Pattern]
     iri_filters: list[str]  # var names under FILTER(isIRI(?v))
+    # update-only (SPARQL 1.1 Update, RunSPARQLUpdate.scala:1-29):
+    delete_template: list[tuple[Term, Term, Term]] | None = None
+    insert_template: list[tuple[Term, Term, Term]] | None = None
 
 
 def _strip_comments(text: str) -> str:
@@ -211,7 +218,67 @@ class _Parser:
                 self.next()
             patterns, filters = self.group()
             return Query("construct", [], template, patterns, filters)
+        if form in ("insert", "delete"):
+            return self._parse_update(form)
         raise ValueError(f"SPARQL parse: unsupported query form {form!r}")
+
+    def template_block(self) -> list[tuple[Term, Term, Term]]:
+        self.expect("{")
+        template = []
+        while self.peek() != "}":
+            s, p, o = self.term(), self.term(), self.term()
+            template.append((s, p, o))
+            if self.peek() == ".":
+                self.next()
+        self.expect("}")
+        return template
+
+    def _parse_update(self, form: str) -> Query:
+        """INSERT DATA / DELETE DATA / DELETE [INSERT] WHERE / DELETE WHERE.
+
+        One statement per document (no ';'-chaining); templates are
+        IRI-term triples, matching the engine's IRI-valued triple frames.
+        """
+        delete_template: list | None = None
+        insert_template: list | None = None
+        nxt = self.peek()
+        if nxt is not None and nxt.lower() == "data":
+            self.next()
+            tmpl = self.template_block()
+            for s, p, o in tmpl:
+                if "var" in (s.kind, p.kind, o.kind):
+                    raise ValueError("SPARQL parse: variables in DATA block")
+            if form == "insert":
+                insert_template = tmpl
+            else:
+                delete_template = tmpl
+            return Query("update", [], [], [], [], delete_template, insert_template)
+        if form == "delete" and nxt is not None and nxt.lower() == "where":
+            # DELETE WHERE { P } — the pattern doubles as the template
+            self.next()
+            patterns, filters = self.group()
+            delete_template = []
+            for pat in patterns:
+                if isinstance(pat.path, Term):
+                    pred = pat.path
+                elif len(pat.path) == 1 and not pat.path[0].star:
+                    pred = Term("iri", pat.path[0].iri)
+                else:
+                    raise ValueError(
+                        "SPARQL parse: property paths not allowed in DELETE WHERE")
+                delete_template.append((pat.subj, pred, pat.obj))
+            return Query("update", [], [], patterns, filters, delete_template, None)
+        if form == "delete":
+            delete_template = self.template_block()
+            if self.peek() is not None and self.peek().lower() == "insert":
+                self.next()
+                insert_template = self.template_block()
+        else:
+            insert_template = self.template_block()
+        self.expect("where")
+        patterns, filters = self.group()
+        return Query("update", [], [], patterns, filters,
+                     delete_template, insert_template)
 
 
 def parse(text: str) -> Query:
@@ -281,8 +348,18 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
     """
     if isinstance(query, str):
         query = parse(query)
+    if query.form == "update":
+        raise ValueError("SPARQL evaluate: use update() for update statements")
     if not query.patterns:
         raise ValueError("SPARQL evaluate: empty graph pattern")
+    bound = _solve(triples, query)
+    if query.form == "select":
+        return bound.select(*query.projection)
+    return _instantiate(bound, query.template)
+
+
+def _solve(triples: DataFrame, query: Query) -> DataFrame:
+    """Join the BGP's pattern bindings into one solution frame."""
     bound: DataFrame | None = None
     for pat in query.patterns:
         b = _bindings(triples, pat)
@@ -295,8 +372,11 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
     for var in query.iri_filters:
         if var in bound.columns:
             bound = bound.where(F.col(var).rlike(_IS_IRI_RE))
-    if query.form == "select":
-        return bound.select(*query.projection)
+    return bound
+
+
+def _instantiate(bound: DataFrame, template: list) -> DataFrame:
+    """Apply solutions to a triple template (CONSTRUCT / update halves)."""
 
     def _tcol(term: Term, alias: str):
         return (
@@ -305,12 +385,60 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
 
     parts = [
         bound.select(_tcol(s, "subj"), _tcol(p, "pred"), _tcol(o, "obj"))
-        for s, p, o in query.template
+        for s, p, o in template
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates()
+
+
+def update(triples: DataFrame, statement: Query | str) -> DataFrame:
+    """Apply a SPARQL 1.1 Update statement, returning the new graph.
+
+    The reference's RunSPARQLUpdate (RunSPARQLUpdate.scala:1-29) mutates a
+    Blazegraph store in place; DataFrames are immutable, so the updated
+    graph is returned (set semantics — the result is distinct, as an RDF
+    graph is a set of triples). Supported: INSERT DATA, DELETE DATA,
+    DELETE WHERE, and DELETE/INSERT(/WHERE) with templates.
+    """
+    if isinstance(statement, str):
+        statement = parse(statement)
+    if statement.form != "update":
+        raise ValueError("SPARQL update: not an update statement")
+    spark = triples.sparkSession
+    cols = ["subj", "pred", "obj"]
+
+    def _ground(template: list) -> DataFrame:
+        rows = [(s.value, p.value, o.value) for s, p, o in template]
+        return spark.createDataFrame(rows, schema="subj string, pred string, obj string")
+
+    if statement.patterns:
+        bound = _solve(triples, statement)
+        delete_df = (
+            _instantiate(bound, statement.delete_template)
+            if statement.delete_template else None
+        )
+        insert_df = (
+            _instantiate(bound, statement.insert_template)
+            if statement.insert_template else None
+        )
+    else:  # INSERT DATA / DELETE DATA
+        delete_df = _ground(statement.delete_template) if statement.delete_template else None
+        insert_df = _ground(statement.insert_template) if statement.insert_template else None
+
+    out = triples.select(*cols).dropDuplicates()
+    if delete_df is not None:
+        out = out.join(F.broadcast(delete_df) if not statement.patterns else delete_df,
+                       on=cols, how="left_anti")
+    if insert_df is not None:
+        out = out.unionByName(insert_df.select(*cols)).dropDuplicates()
+    return out
+
+
+def run_update_file(triples: DataFrame, path: str) -> DataFrame:
+    with open(path, "r", encoding="utf-8") as fh:
+        return update(triples, fh.read())
 
 
 def run_file(triples: DataFrame, path: str) -> DataFrame:

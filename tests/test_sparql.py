@@ -127,3 +127,91 @@ def test_sparql_subclass_closure_matches_hand_built(spark):
         for r in entrymod.queries()["subclass_closure"](spark, sf).collect()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update (RunSPARQLUpdate surface)
+# ---------------------------------------------------------------------------
+
+EX = "http://example.org/"
+
+
+def _g(spark):
+    return _triples(
+        spark,
+        [
+            (EX + "a", RDFS_SUB, EX + "b"),
+            (EX + "b", RDFS_SUB, EX + "c"),
+            (EX + "x", sparql.RDF_TYPE, EX + "a"),
+        ],
+    )
+
+
+def test_update_insert_data(spark):
+    out = sparql.update(
+        _g(spark),
+        f"INSERT DATA {{ <{EX}c> <{RDFS_SUB}> <{EX}d> . }}",
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert (EX + "c", RDFS_SUB, EX + "d") in rows
+    assert len(rows) == 4
+
+
+def test_update_delete_data(spark):
+    out = sparql.update(
+        _g(spark),
+        f"DELETE DATA {{ <{EX}a> <{RDFS_SUB}> <{EX}b> . }}",
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert (EX + "a", RDFS_SUB, EX + "b") not in rows
+    assert len(rows) == 2
+
+
+def test_update_delete_where_shorthand(spark):
+    out = sparql.update(
+        _g(spark),
+        f"PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n"
+        f"DELETE WHERE {{ ?s rdfs:subClassOf ?o . }}",
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {(EX + "x", sparql.RDF_TYPE, EX + "a")}
+
+
+def test_update_delete_insert_where(spark):
+    # rewrite every subclass edge to a custom predicate
+    stmt = (
+        f"PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n"
+        f"PREFIX ex: <{EX}>\n"
+        "DELETE { ?s rdfs:subClassOf ?o . }\n"
+        "INSERT { ?s ex:under ?o . }\n"
+        "WHERE { ?s rdfs:subClassOf ?o . }"
+    )
+    out = sparql.update(_g(spark), stmt)
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {
+        (EX + "a", EX + "under", EX + "b"),
+        (EX + "b", EX + "under", EX + "c"),
+        (EX + "x", sparql.RDF_TYPE, EX + "a"),
+    }
+
+
+def test_update_insert_where_with_path(spark):
+    # materialize the subclass closure into explicit triples via update
+    stmt = (
+        f"PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n"
+        f"PREFIX ex: <{EX}>\n"
+        "INSERT { ?s ex:ancestor ?o . }\n"
+        "WHERE { ?s rdfs:subClassOf* ?o . }"
+    )
+    out = sparql.update(_g(spark), stmt)
+    anc = {(r.subj, r.obj) for r in out.collect() if r.pred == EX + "ancestor"}
+    assert anc == {(EX + "a", EX + "b"), (EX + "b", EX + "c"), (EX + "a", EX + "c")}
+
+
+def test_update_rejects_query_form(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sparql.update(_g(spark), "SELECT ?s WHERE { ?s ?p ?o . }")
+    with pytest.raises(ValueError):
+        sparql.evaluate(_g(spark), f"DELETE DATA {{ <{EX}a> <{RDFS_SUB}> <{EX}b> . }}")
