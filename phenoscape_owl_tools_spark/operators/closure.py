@@ -257,6 +257,7 @@ def property_chain_closure(
     chains: list[tuple[str, str, str]],
     subprops: DataFrame | None = None,
     max_iterations: int = 100,
+    keep_self_loops: bool = False,
 ) -> DataFrame:
     """EL property-chain saturation (SURVEY.md §7.3 extension, C4).
 
@@ -274,12 +275,13 @@ def property_chain_closure(
     from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
 
     barrier = IterationBarrier("chains")
-    asrt = barrier(
-        assertions.select("p", "s", "o")
-        .where(F.col("s") != F.col("o"))
-        .dropDuplicates(),
-        "assertions",
-    )
+    base = assertions.select("p", "s", "o")
+    if not keep_self_loops:
+        # cycle guard for the VAHM/closure paths; rolification (r.Self
+        # encodings, HomologyTableDemoRolification.scala:72-73) needs the
+        # reflexive edges and opts in via keep_self_loops=True.
+        base = base.where(F.col("s") != F.col("o"))
+    asrt = barrier(base.dropDuplicates(), "assertions")
     sp = asrt.sparkSession
     chain_df = (
         sp.createDataFrame(chains, ["c1", "c2", "cr"]) if chains else None

@@ -189,3 +189,134 @@ def homology_axioms_ancestral(homology: DataFrame) -> DataFrame:
         .unionByName(withev.select(*t(F.col("ev"), F.lit(DC_SOURCE), F.col("publication"))))
     )
     return structure.unionByName(evidence).dropDuplicates()
+
+
+TOP_OBJECT_PROPERTY = "http://www.w3.org/2002/07/owl#topObjectProperty"
+OWL_HAS_SELF = "http://www.w3.org/2002/07/owl#hasSelf"
+OWL_PROPERTY_CHAIN = "http://www.w3.org/2002/07/owl#propertyChainAxiom"
+RDF_N = "http://www.w3.org/1999/02/22-rdf-syntax-ns#_"  # rdf:_1, rdf:_2, ...
+
+
+def homology_axioms_rolification(homology: DataFrame) -> DataFrame:
+    """Rolification demo model (HomologyTableDemoRolification.scala:41-87).
+
+    Per positive row the reference emits, with per-row fresh roles
+    ``{uid}#role1`` / ``{uid}#role2`` (:52,:64):
+
+    - ``(SX and in_taxon some TX) SubClassOf roleX Self`` (:72-73,:81-82),
+    - ``property SubPropertyChain(role1 o Top o role2)`` (:74,:83) where
+      property is historical (RO_HOM0000007) or serial (RO_HOM0000027)
+      homology (:23-24,:46-51);
+
+    negated rows emit no role/chain axioms; evidence-bearing rows always
+    emit ``evidence Type evidenceCode`` + ``evidence dc:source pub``
+    (:68-79).
+
+    Triple encoding (engine convention — deterministic content skolems,
+    public vocab only): the self-restriction is a named expression node
+    ``(exprX, rdfs:subClassOf, selfX)`` + ``(selfX, owl:hasSelf, roleX)``;
+    the ternary chain is a list node ``(prop, owl:propertyChainAxiom, ch)``
+    + ``(ch, rdf:_1, role1) (ch, rdf:_2, owl:topObjectProperty)
+    (ch, rdf:_3, role2)``. ``uid`` is sha256 of the canonical row, standing
+    in for the reference's sha1Hex(line) (:42).
+    """
+    h = homology.select(
+        F.trim("structure1").alias("s1"),
+        F.trim("taxon1").alias("t1"),
+        F.trim("relation").alias("rel"),
+        F.trim("structure2").alias("s2"),
+        F.trim("taxon2").alias("t2"),
+        F.col("evidence_code"),
+        F.col("publication"),
+    ).where(
+        F.col("rel").isin("hom to", "not hom to", "ser hom to", "not ser hom to")
+    ).withColumn(
+        "prop",
+        F.when(F.col("rel").isin("hom to", "not hom to"), F.lit(IN_HISTORICAL_HOMOLOGY))
+        .otherwise(F.lit(SERIALLY_HOMOLOGOUS_TO)),
+    ).withColumn(
+        "negated", F.col("rel").startswith("not ")
+    ).withColumn(
+        "uid",
+        F.sha2(F.concat_ws("\t", "s1", "t1", "rel", "s2", "t2",
+                           F.coalesce("evidence_code", F.lit("")), "publication"), 256),
+    ).withColumn(
+        "ann", F.concat(F.lit(ANNOTATION_PREFIX), F.col("uid"))
+    ).withColumn(
+        "expr1", _structure_in_taxon_expr(F.col("s1"), F.col("t1"))
+    ).withColumn(
+        "expr2", _structure_in_taxon_expr(F.col("s2"), F.col("t2"))
+    ).withColumn(
+        "role1", F.concat(F.col("ann"), F.lit("#role1"))
+    ).withColumn(
+        "role2", F.concat(F.col("ann"), F.lit("#role2"))
+    )
+
+    def t(subj, pred, obj):
+        return [subj.alias("subj"), pred.alias("pred"), obj.alias("obj")]
+
+    pos = h.where(~F.col("negated"))
+    self1 = F.concat(F.col("ann"), F.lit("#self1"))
+    self2 = F.concat(F.col("ann"), F.lit("#self2"))
+    chain = F.concat(F.col("ann"), F.lit("#chain"))
+    role_axioms = (
+        # expr defs (shared shape with homology_axioms)
+        pos.select(*t(F.col("expr1"), F.lit(vocab.RDFS_SUBCLASS_OF), F.col("s1")))
+        .unionByName(pos.select(*t(F.col("expr1"), F.lit(vocab.IN_TAXON), F.col("t1"))))
+        .unionByName(pos.select(*t(F.col("expr2"), F.lit(vocab.RDFS_SUBCLASS_OF), F.col("s2"))))
+        .unionByName(pos.select(*t(F.col("expr2"), F.lit(vocab.IN_TAXON), F.col("t2"))))
+        # rolification: exprX ⊑ roleX Self
+        .unionByName(pos.select(*t(F.col("expr1"), F.lit(vocab.RDFS_SUBCLASS_OF), self1)))
+        .unionByName(pos.select(*t(self1, F.lit(OWL_HAS_SELF), F.col("role1"))))
+        .unionByName(pos.select(*t(F.col("expr2"), F.lit(vocab.RDFS_SUBCLASS_OF), self2)))
+        .unionByName(pos.select(*t(self2, F.lit(OWL_HAS_SELF), F.col("role2"))))
+        # prop ⊒ role1 o Top o role2
+        .unionByName(pos.select(*t(F.col("prop"), F.lit(OWL_PROPERTY_CHAIN), chain)))
+        .unionByName(pos.select(*t(chain, F.lit(RDF_N + "1"), F.col("role1"))))
+        .unionByName(pos.select(*t(chain, F.lit(RDF_N + "2"), F.lit(TOP_OBJECT_PROPERTY))))
+        .unionByName(pos.select(*t(chain, F.lit(RDF_N + "3"), F.col("role2"))))
+    )
+    ev = h.where(F.col("evidence_code").isNotNull())
+    ev_ind = F.concat(F.col("ann"), F.lit("#evidence"))
+    evidence = (
+        ev.select(*t(ev_ind, F.lit(vocab.RDF_TYPE),
+                     iri_fn.obo_iri_for_term_id(F.col("evidence_code"))))
+        .unionByName(ev.select(*t(ev_ind, F.lit(DC_SOURCE), F.col("publication"))))
+        # axiom_has_evidence hook on the annotation node (:72-74 Annotation)
+        .unionByName(
+            ev.where(~F.col("negated"))
+            .select(*t(F.col("ann"), F.lit(vocab.HAS_EVIDENCE), ev_ind))
+        )
+    )
+    return role_axioms.unionByName(evidence).dropDuplicates()
+
+
+def rolification_chain_rules(homology: DataFrame) -> DataFrame:
+    """Binary decomposition of the rolification chains for the saturation
+    operator: ``role1 o Top ⊑ aux`` and ``aux o role2 ⊑ prop`` — the
+    (first, second, sup) shape ``closure.property_chain_closure`` consumes.
+    Lets the demo model's ternary chains run through the engine's EL
+    saturation without a dedicated ternary-chain operator.
+    """
+    base = homology_axioms_rolification(homology)
+    chains = base.where(F.col("pred") == OWL_PROPERTY_CHAIN).select(
+        F.col("subj").alias("sup"), F.col("obj").alias("ch")
+    )
+    members = base.where(F.col("pred").startswith(RDF_N)).select(
+        F.col("subj").alias("ch2"),
+        F.col("pred").substr(F.lit(len(RDF_N) + 1), F.lit(2)).cast("int").alias("pos"),
+        F.col("obj").alias("role"),
+    )
+    m = chains.join(members, chains["ch"] == members["ch2"]).groupBy("ch", "sup").agg(
+        F.max(F.when(F.col("pos") == 1, F.col("role"))).alias("r1"),
+        F.max(F.when(F.col("pos") == 2, F.col("role"))).alias("r2"),
+        F.max(F.when(F.col("pos") == 3, F.col("role"))).alias("r3"),
+    )
+    aux = F.concat(F.col("ch"), F.lit("#aux"))
+    first_half = m.select(
+        F.col("r1").alias("first"), F.col("r2").alias("second"), aux.alias("sup")
+    )
+    second_half = m.select(
+        aux.alias("first"), F.col("r3").alias("second"), F.col("sup")
+    )
+    return first_half.unionByName(second_half)

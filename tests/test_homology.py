@@ -72,3 +72,82 @@ def test_ancestral_structure_model(spark):
     # determinism: re-run emits the identical triple set
     again = [(r.subj, r.pred, r.obj) for r in homology.homology_axioms_ancestral(df).collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_rolification_model(spark):
+    """HomologyTableDemoRolification.scala:41-87: positive rows emit
+    self-rolification + ternary chain; negated rows only evidence."""
+    rows = [
+        ("u:a", "t:1", "hom to", "u:b", "t:2", "ECO:0000033", "PMID:1"),
+        ("u:c", "t:3", "not hom to", "u:d", "t:4", "ECO:0000034", "PMID:2"),
+        ("u:e", "t:5", "ser hom to", "u:f", "t:6", None, "PMID:3"),
+    ]
+    h = spark.createDataFrame(
+        rows,
+        "structure1 string, taxon1 string, relation string, structure2 string, "
+        "taxon2 string, evidence_code string, publication string",
+    )
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in homology.homology_axioms_rolification(h).collect()}
+
+    chains = [(s, o) for s, p, o in got if p == homology.OWL_PROPERTY_CHAIN]
+    # two positive rows -> two chain axioms, one per homology property
+    assert len(chains) == 2
+    assert {s for s, _ in chains} == {
+        homology.IN_HISTORICAL_HOMOLOGY, homology.SERIALLY_HOMOLOGOUS_TO
+    }
+    # every chain node has exactly members _1.._3 with Top in the middle
+    for _, ch in chains:
+        members = sorted((p, o) for s, p, o in got if s == ch)
+        assert [p for p, _ in members] == [homology.RDF_N + "1",
+                                           homology.RDF_N + "2",
+                                           homology.RDF_N + "3"]
+        assert members[1][1] == homology.TOP_OBJECT_PROPERTY
+        assert members[0][1].endswith("#role1")
+        assert members[2][1].endswith("#role2")
+    # self restrictions: 2 per positive row
+    selfs = [(s, o) for s, p, o in got if p == homology.OWL_HAS_SELF]
+    assert len(selfs) == 4
+    # negated row contributes no roles, but its evidence individual exists
+    neg_ev = [s for s, p, o in got
+              if p == homology.DC_SOURCE and o == "PMID:2"]
+    assert len(neg_ev) == 1
+    # exactly 2 positive rows' worth of role IRIs exist (negated row none)
+    roles = {o for _, p, o in got if p == homology.OWL_HAS_SELF}
+    assert len(roles) == 4
+
+    # determinism under repartition
+    again = {(r["subj"], r["pred"], r["obj"])
+             for r in homology.homology_axioms_rolification(h.repartition(5)).collect()}
+    assert got == again
+
+
+def test_rolification_chain_rules_feed_saturation(spark):
+    """The binary decomposition reproduces the ternary chain: composing
+    role1 ∘ Top ∘ role2 edges through property_chain_closure derives a
+    homology edge."""
+    from phenoscape_owl_tools_spark.operators import closure as closure_ops
+
+    rows = [("u:a", "t:1", "hom to", "u:b", "t:2", None, "PMID:1")]
+    h = spark.createDataFrame(
+        rows,
+        "structure1 string, taxon1 string, relation string, structure2 string, "
+        "taxon2 string, evidence_code string, publication string",
+    )
+    rl = homology.rolification_chain_rules(h).collect()
+    assert len(rl) == 2
+    aux_rule = [r for r in rl if r["sup"].endswith("#aux")][0]
+    top_rule = [r for r in rl if r["sup"] == homology.IN_HISTORICAL_HOMOLOGY][0]
+    assert aux_rule["second"] == homology.TOP_OBJECT_PROPERTY
+    assert top_rule["first"].endswith("#aux")
+
+    # facts: x role1-self x ; x Top y ; y role2-self y
+    r1, r2 = aux_rule["first"], top_rule["second"]
+    facts = spark.createDataFrame(
+        [(r1, "x", "x"), (homology.TOP_OBJECT_PROPERTY, "x", "y"), (r2, "y", "y")],
+        "p string, s string, o string",
+    )
+    chains = [(r["first"], r["second"], r["sup"]) for r in rl]
+    sat = closure_ops.property_chain_closure(facts, chains, keep_self_loops=True)
+    got = {(r["p"], r["s"], r["o"]) for r in sat.collect()}
+    assert (homology.IN_HISTORICAL_HOMOLOGY, "x", "y") in got
