@@ -240,3 +240,40 @@ def sessionize_stream(
         "update",
         timeout_conf,
     )
+
+
+def sessionize_stream_event_time(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time sessionization via the built-in ``session_window``.
+
+    The declarative twin of :func:`sessionize_stream`: sessions are keyed by
+    event time, close when the watermark passes ``gap`` beyond the last
+    event, and late events within the watermark merge (and can bridge) their
+    sessions — strictly event-time semantics, where the stateful operator
+    above reports arrival-order folds with a processing-time idle flush.
+
+    Prefer this form whenever plain gap semantics suffice: the session merge
+    runs JVM-side in the state store (no Python worker in the loop), and the
+    watermark bounds state without custom timeout plumbing. Reach for
+    ``applyInPandasWithState`` only when the fold itself is custom (e.g.
+    emitting still-open sessions every batch, which append-mode
+    ``session_window`` cannot do).
+
+    Output matches SESSION_OUTPUT_SCHEMA minus ``closed`` (append mode emits
+    only finalized sessions).
+    """
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("double").alias("session_start"),
+            F.unix_timestamp("w.end").cast("double").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -125,3 +125,50 @@ def test_sessionize_stream_state_spans_batches(spark, tmp_path):
     # the open session B (the 120-min event) was reported as open
     opens = [r for r in rows if not r["closed"] and r["n_events"] == 1]
     assert any(r["session_start"] == r["session_end"] for r in opens)
+
+
+def test_sessionize_event_time_matches_stateful(spark, tmp_path):
+    """session_window (event-time) agrees with the custom stateful operator
+    on closed sessions, and merges late events into the right session."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, user=1):
+        return Row(event_id=i, ts=base + dt.timedelta(minutes=minutes), user_id=user,
+                   event_type="click", value=1.0, props="{}")
+
+    # user 1: session [0,15] (3 events), then lone event at 120
+    # user 2: late-arriving 5-min event lands AFTER the 12-min event in file
+    #   order but must merge into the same event-time session [5,12]
+    chunk1 = [ev(0, 0), ev(1, 10), ev(4, 12, user=2)]
+    chunk2 = [ev(2, 15), ev(5, 5, user=2), ev(3, 120)]
+    in_dir = tmp_path / "sw_in"
+    spark.createDataFrame(chunk1).coalesce(1).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(chunk2).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(chunk1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        ingest.sessionize_stream_event_time(stream, gap="30 minutes",
+                                            watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sw_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sw_sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1's first session closed with 3 events spanning [0, 15] + gap end
+    u1 = sorted(by_user.get(1, []), key=lambda r: r["session_start"])
+    assert u1 and u1[0]["n_events"] == 3
+    assert u1[0]["session_start"] == base.replace(tzinfo=dt.timezone.utc).timestamp()
+    # user 2's two out-of-order events merged into ONE session of 2 events
+    u2 = by_user.get(2, [])
+    assert len(u2) == 1 and u2[0]["n_events"] == 2
