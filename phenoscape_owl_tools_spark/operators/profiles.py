@@ -126,8 +126,14 @@ def evolutionary_profiles(
     edges = barrier(taxonomy_edges.select("child", "parent").dropDuplicates(), "edges")
 
     schema = "node string, character string, states array<string>"
-    computed = spark.createDataFrame([], schema)  # filled bottom-up
-    profiles = spark.createDataFrame([], schema)
+    # Per-level frames accumulate in a list and union ONCE at the end:
+    # each level's Fitch step only ever reads the level directly below it
+    # (a tree: children of a depth-d node all sit at depth d+1), so joining
+    # the full accumulated set per level would rescan O(depth) frames per
+    # level — O(depth^2) total — for rows that can never match.
+    level_frames: list[DataFrame] = []
+    profile_frames: list[DataFrame] = []
+    prev_level = spark.createDataFrame([], schema)
     # children counts per parent (for the empty-set contribution check)
     n_children = barrier(
         edges.groupBy(F.col("parent")).agg(F.countDistinct("child").alias("n_children")),
@@ -136,20 +142,18 @@ def evolutionary_profiles(
 
     # level loop: dimension-scale frames only -> small shuffle window
     with _small_shuffle(spark):
-        COMPACT_EVERY = 6
-        levels_done = 0
         for d in range(max_depth, -1, -1):
             nodes_d = depths.where(F.col("depth") == d).select(F.col("n").alias("node"))
             if d == max_depth:
                 # deepest level: all leaves -> associations are the asserted sets
-                level = asserted.join(nodes_d, on="node", how="inner")
-                computed = barrier(level, "computed")
+                prev_level = barrier(asserted.join(nodes_d, on="node", how="inner"), "level")
+                level_frames.append(prev_level)
                 continue
-            # children of level-d nodes already computed (they live at depth d+1)
+            # children of level-d nodes live exactly one level down
             child_assoc = (
                 edges.join(nodes_d, edges["parent"] == nodes_d["node"])
                 .select("child", "parent")
-                .join(computed, F.col("child") == computed["node"], "left")
+                .join(prev_level, F.col("child") == prev_level["node"], "left")
                 .select(
                     F.col("parent"),
                     F.col("child"),
@@ -238,27 +242,39 @@ def evolutionary_profiles(
                     F.col("union_all"),
                 ),
             )
-            level = stepped.where(F.size("current") > 0).select(
-                F.col("parent").alias("node"),
-                "character",
-                F.sort_array(F.col("current")).alias("states"),
+            # ONE eager action per level: barrier a combined frame carrying
+            # both outputs, then split with narrow filters — the old shape
+            # left the profile rows lazy, so the final action re-ran every
+            # level's join pipeline a second time.
+            combined = barrier(
+                stepped.select(
+                    F.col("parent").alias("node"),
+                    "character",
+                    F.sort_array(F.col("current")).alias("states"),
+                    F.when(
+                        F.col("profile_states").isNotNull()
+                        & (F.size("profile_states") > 0),
+                        F.sort_array(F.col("profile_states")),
+                    ).alias("p_states"),
+                ),
+                "level",
             )
-            prof = stepped.where(
-                F.col("profile_states").isNotNull() & (F.size("profile_states") > 0)
-            ).select(
-                F.col("parent").alias("node"),
-                "character",
-                F.sort_array(F.col("profile_states")).alias("states"),
+            prev_level = combined.where(F.size("states") > 0).select(
+                "node", "character", "states"
             )
-            profiles = profiles.unionByName(prof)
-            computed = barrier(computed.unionByName(level), "computed")
-            levels_done += 1
-            if levels_done % COMPACT_EVERY == 0:
-                computed = barrier.materialize(computed, "computed")
-                profiles = barrier.materialize(profiles, "profiles")
-                barrier.gc(keep=2)
+            level_frames.append(prev_level)
+            profile_frames.append(
+                combined.where(F.col("p_states").isNotNull()).select(
+                    "node", "character", F.col("p_states").alias("states")
+                )
+            )
 
-
+    computed = level_frames[0]
+    for lf in level_frames[1:]:
+        computed = computed.unionByName(lf)
+    profiles = spark.createDataFrame([], schema)
+    for pf in profile_frames:
+        profiles = profiles.unionByName(pf)
     return computed, profiles
 
 
