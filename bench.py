@@ -88,8 +88,17 @@ def run_headline(sf_dir: str, names: list[str] | None = None) -> dict:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # warm the JVM/Arrow path once so q1's timing isn't JVM-warmup noise
+    # warm the JVM AND the full-width Python worker pool + Arrow path (the
+    # same discipline as --scaling mode, BENCH.md §2): without this the
+    # first pandas-UDF query is charged ~3 s of worker forks + pandas import
     spark.range(1000).selectExpr("sum(id)").collect()
+    width = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(width * 10).repartition(width).mapInPandas(_noop, "id long").count()
     for name in names:
         fn = qmap[name]
         t0 = time.perf_counter()

@@ -320,3 +320,109 @@ def rolification_chain_rules(homology: DataFrame) -> DataFrame:
         aux.alias("first"), F.col("r3").alias("second"), F.col("sup")
     )
     return first_half.unionByName(second_half)
+
+
+HH_MEMBER_OF = "http://example.org/historical_homology_member_of"
+HAS_HH_MEMBER = "http://example.org/has_historical_homology_member"
+SH_MEMBER_OF = "http://example.org/serial_homology_member_of"
+HAS_SH_MEMBER = "http://example.org/has_serial_homology_member"
+OWL_INVERSE_OF = "http://www.w3.org/2002/07/owl#inverseOf"
+
+# SubPropertyChain axioms of the AVA model (HomologyTableToOWLVAHM.scala:
+# 47-51), in the (first, second, sup) shape property_chain_closure consumes.
+VAHM_CHAIN_RULES = [
+    (HH_MEMBER_OF, HAS_HH_MEMBER, IN_HISTORICAL_HOMOLOGY),
+    (SH_MEMBER_OF, HAS_SH_MEMBER, SERIALLY_HOMOLOGOUS_TO),
+]
+
+
+def homology_axioms_vahm(homology: DataFrame) -> DataFrame:
+    """AVA/VAHM homology model (HomologyTableToOWLVAHM.scala:55-97).
+
+    Per positive row, with a per-row ancestor individual (:78) and the
+    relation's member properties (:60-65):
+
+    - ``(SX and in_taxon some TX) SubClassOf (memberOf value ancestor)``
+      (:82,:84) — encoded as a direct edge ``(exprX, memberOf, anc)``
+      (value restriction with a known individual),
+    - ``ancestor Type (hasMember some (SX and in_taxon some TX))``
+      (:83,:85) — encoded ``(anc, hasMember, exprX)``,
+    - evidence (:86-92): ``(ev, rdf:type, code)``, ``(ev, dc:source, pub)``,
+      ``(anc, has_evidence, ev)``.
+
+    Ontology-level axioms (:44-51), emitted once when any positive row of
+    the relation exists: ``(memberOf, owl:inverseOf, hasMember)`` and the
+    ``SubPropertyChain`` encoded as an rdf:_n list node, same convention as
+    :func:`homology_axioms_rolification`. Negated rows emit nothing (:80,
+    the reference guards the whole block with ``if (!negated)``).
+
+    Expression defs (expr ⊑ structure, expr in_taxon taxon) are emitted so
+    the expression nodes resolve, matching :func:`homology_axioms`.
+    """
+    h = homology.select(
+        F.trim("structure1").alias("s1"),
+        F.trim("taxon1").alias("t1"),
+        F.trim("relation").alias("rel"),
+        F.trim("structure2").alias("s2"),
+        F.trim("taxon2").alias("t2"),
+        F.col("evidence_code"),
+        F.col("publication"),
+    ).where(
+        F.col("rel").isin("hom to", "ser hom to")  # positive rows only (:80)
+    ).withColumn(
+        "up",
+        F.when(F.col("rel") == "hom to", F.lit(HH_MEMBER_OF))
+        .otherwise(F.lit(SH_MEMBER_OF)),
+    ).withColumn(
+        "down",
+        F.when(F.col("rel") == "hom to", F.lit(HAS_HH_MEMBER))
+        .otherwise(F.lit(HAS_SH_MEMBER)),
+    ).withColumn(
+        "uid",
+        F.sha2(F.concat_ws("\t", "s1", "t1", "rel", "s2", "t2",
+                           F.coalesce("evidence_code", F.lit("")), "publication"), 256),
+    ).withColumn(
+        "ann", F.concat(F.lit(ANNOTATION_PREFIX), F.col("uid"))
+    ).withColumn(
+        "anc", F.concat(F.col("ann"), F.lit("#ancestor"))
+    ).withColumn(
+        "expr1", _structure_in_taxon_expr(F.col("s1"), F.col("t1"))
+    ).withColumn(
+        "expr2", _structure_in_taxon_expr(F.col("s2"), F.col("t2"))
+    )
+
+    def t(subj, pred, obj):
+        return [subj.alias("subj"), pred.alias("pred"), obj.alias("obj")]
+
+    member = (
+        h.select(*t(F.col("expr1"), F.col("up"), F.col("anc")))
+        .unionByName(h.select(*t(F.col("anc"), F.col("down"), F.col("expr1"))))
+        .unionByName(h.select(*t(F.col("expr2"), F.col("up"), F.col("anc"))))
+        .unionByName(h.select(*t(F.col("anc"), F.col("down"), F.col("expr2"))))
+        # expression defs so expr nodes resolve downstream
+        .unionByName(h.select(*t(F.col("expr1"), F.lit(vocab.RDFS_SUBCLASS_OF), F.col("s1"))))
+        .unionByName(h.select(*t(F.col("expr1"), F.lit(vocab.IN_TAXON), F.col("t1"))))
+        .unionByName(h.select(*t(F.col("expr2"), F.lit(vocab.RDFS_SUBCLASS_OF), F.col("s2"))))
+        .unionByName(h.select(*t(F.col("expr2"), F.lit(vocab.IN_TAXON), F.col("t2"))))
+    )
+    ev = h.where(F.col("evidence_code").isNotNull())
+    ev_ind = F.concat(F.col("ann"), F.lit("#evidence"))
+    evidence = (
+        ev.select(*t(ev_ind, F.lit(vocab.RDF_TYPE),
+                     iri_fn.obo_iri_for_term_id(F.col("evidence_code"))))
+        .unionByName(ev.select(*t(ev_ind, F.lit(DC_SOURCE), F.col("publication"))))
+        .unionByName(ev.select(*t(F.col("anc"), F.lit(vocab.HAS_EVIDENCE), ev_ind)))
+    )
+    # ontology-level property axioms, once per relation present in the input
+    rels = h.select("up", "down", "rel").dropDuplicates()
+    sup = F.when(F.col("rel") == "hom to", F.lit(IN_HISTORICAL_HOMOLOGY)).otherwise(
+        F.lit(SERIALLY_HOMOLOGOUS_TO)
+    )
+    ch = F.concat(sup, F.lit("#chain"))
+    onto = (
+        rels.select(*t(F.col("up"), F.lit(OWL_INVERSE_OF), F.col("down")))
+        .unionByName(rels.select(*t(sup, F.lit(OWL_PROPERTY_CHAIN), ch)))
+        .unionByName(rels.select(*t(ch, F.lit(RDF_N + "1"), F.col("up"))))
+        .unionByName(rels.select(*t(ch, F.lit(RDF_N + "2"), F.col("down"))))
+    )
+    return member.unionByName(evidence).unionByName(onto).dropDuplicates()

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from phenoscape_owl_tools_spark import vocab
 from phenoscape_owl_tools_spark.operators import homology
 
@@ -151,3 +153,73 @@ def test_rolification_chain_rules_feed_saturation(spark):
     sat = closure_ops.property_chain_closure(facts, chains, keep_self_loops=True)
     got = {(r["p"], r["s"], r["o"]) for r in sat.collect()}
     assert (homology.IN_HISTORICAL_HOMOLOGY, "x", "y") in got
+
+
+def test_vahm_model(spark):
+    """HomologyTableToOWLVAHM.scala:55-97: member edges through a per-row
+    ancestor; chain + inverse ontology axioms; negated rows emit nothing."""
+    rows = [
+        ("u:a", "t:1", "hom to", "u:b", "t:2", "ECO:0000033", "PMID:1"),
+        ("u:c", "t:3", "not hom to", "u:d", "t:4", "ECO:0000034", "PMID:2"),
+        ("u:e", "t:5", "ser hom to", "u:f", "t:6", None, "PMID:3"),
+    ]
+    h = spark.createDataFrame(
+        rows,
+        "structure1 string, taxon1 string, relation string, structure2 string, "
+        "taxon2 string, evidence_code string, publication string",
+    )
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in homology.homology_axioms_vahm(h).collect()}
+
+    # negated row contributes nothing at all (reference guards with !negated)
+    assert not any(o == "PMID:2" for _, _, o in got)
+
+    # historical row: expr1 -memberOf-> anc and anc -hasMember-> expr1
+    up = [(s, o) for s, p, o in got if p == homology.HH_MEMBER_OF]
+    down = [(s, o) for s, p, o in got if p == homology.HAS_HH_MEMBER]
+    assert len(up) == 2 and len(down) == 2
+    (anc,) = {o for _, o in up}
+    assert anc.endswith("#ancestor")
+    assert {s for s, _ in down} == {anc}
+    assert {o for _, o in down} == {s for s, _ in up}
+
+    # serial row uses the serial member properties
+    assert sum(1 for _, p, _ in got if p == homology.SH_MEMBER_OF) == 2
+
+    # evidence subgraph hangs off the ancestor
+    ev_edges = [(s, o) for s, p, o in got if p == vocab.HAS_EVIDENCE]
+    assert ev_edges == [(anc, anc.replace("#ancestor", "#evidence"))]
+
+    # ontology-level: inverse + chain per relation present
+    inv = {(s, o) for s, p, o in got if p == homology.OWL_INVERSE_OF}
+    assert inv == {(homology.HH_MEMBER_OF, homology.HAS_HH_MEMBER),
+                   (homology.SH_MEMBER_OF, homology.HAS_SH_MEMBER)}
+    chains = {s for s, p, o in got if p == homology.OWL_PROPERTY_CHAIN}
+    assert chains == {homology.IN_HISTORICAL_HOMOLOGY,
+                      homology.SERIALLY_HOMOLOGOUS_TO}
+
+
+def test_vahm_chains_derive_homology_edge(spark):
+    """Saturating the VAHM member edges with VAHM_CHAIN_RULES derives the
+    pairwise homology relation the REA model asserts directly — the two
+    models agree through the chain (the homology paper's equivalence)."""
+    from phenoscape_owl_tools_spark.operators import closure as closure_ops
+
+    rows = [("u:a", "t:1", "hom to", "u:b", "t:2", None, "PMID:1")]
+    h = spark.createDataFrame(
+        rows,
+        "structure1 string, taxon1 string, relation string, structure2 string, "
+        "taxon2 string, evidence_code string, publication string",
+    )
+    triples = homology.homology_axioms_vahm(h)
+    facts = triples.where(
+        F.col("pred").isin(homology.HH_MEMBER_OF, homology.HAS_HH_MEMBER)
+    ).select(F.col("pred").alias("p"), F.col("subj").alias("s"), F.col("obj").alias("o"))
+    sat = closure_ops.property_chain_closure(facts, homology.VAHM_CHAIN_RULES)
+    derived = {(r["s"], r["o"]) for r in sat.collect()
+               if r["p"] == homology.IN_HISTORICAL_HOMOLOGY}
+    # expr1 ~ expr2 both directions (memberOf ∘ hasMember through anc)
+    exprs = {r["subj"] for r in triples.collect()
+             if r["pred"] == homology.HH_MEMBER_OF}
+    e1, e2 = sorted(exprs)
+    assert (e1, e2) in derived and (e2, e1) in derived
