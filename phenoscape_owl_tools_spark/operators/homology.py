@@ -426,3 +426,91 @@ def homology_axioms_vahm(homology: DataFrame) -> DataFrame:
         .unionByName(rels.select(*t(ch, F.lit(RDF_N + "2"), F.col("down"))))
     )
     return member.unionByName(evidence).unionByName(onto).dropDuplicates()
+
+
+HOMOLOGY_ANNOTATION = PHENOSCAPE_ANN = "http://example.org/HomologyAnnotation"
+NEG_HOMOLOGY_ANNOTATION = "http://example.org/NegativeHomologyAnnotation"
+ABOUT_STRUCTURE = "http://example.org/about_structure"
+
+
+def homology_axioms_simple(homology: DataFrame) -> DataFrame:
+    """Plain class-level model (HomologyTableToOWL.scala:49-67): positive
+    'hom to' rows ONLY (negative assertions would make the ontology
+    inconsistent — the reference's FIXME at :62-65 skips them), reciprocal
+    ``SX SubClassOf (homologous_to some SY)`` encoded as direct
+    ``(SX, homologous_to, SY)`` edges, plus the evidence individual.
+    Content-derived skolems replace the reference's UUIDs (:55)."""
+    h = homology.select(
+        F.trim("structure1").alias("s1"),
+        F.trim("structure2").alias("s2"),
+        F.trim("relation").alias("rel"),
+        F.col("evidence_code"),
+        F.col("publication"),
+    ).where(F.col("rel") == "hom to").withColumn(
+        "uid",
+        F.sha2(F.concat_ws("\t", "s1", "rel", "s2",
+                           F.coalesce("evidence_code", F.lit("")), "publication"), 256),
+    ).withColumn(
+        "ev", F.concat(F.lit(ANNOTATION_PREFIX), F.col("uid"), F.lit("#evidence"))
+    )
+
+    def t(subj, pred, obj):
+        return [subj.alias("subj"), pred.alias("pred"), obj.alias("obj")]
+
+    edges = (
+        h.select(*t(F.col("s1"), F.lit(vocab.HOMOLOGOUS_TO), F.col("s2")))
+        .unionByName(h.select(*t(F.col("s2"), F.lit(vocab.HOMOLOGOUS_TO), F.col("s1"))))
+    )
+    ev = h.where(F.col("evidence_code").isNotNull())
+    evidence = (
+        ev.select(*t(F.col("ev"), F.lit(vocab.RDF_TYPE),
+                     iri_fn.obo_iri_for_term_id(F.col("evidence_code"))))
+        .unionByName(ev.select(*t(F.col("ev"), F.lit(DC_SOURCE), F.col("publication"))))
+    )
+    return edges.unionByName(evidence).dropDuplicates()
+
+
+def homology_axioms_annotations(homology: DataFrame) -> DataFrame:
+    """Annotation-individual model (HomologyTableToOWLAsAnnotations.scala:
+    54-71): EVERY row (positive and negative) gets an annotation individual
+    typed HomologyAnnotation / NegativeHomologyAnnotation, with
+    ``about_structure`` facts to both structures and the evidence subgraph.
+    Content-derived skolems replace the reference's UUIDs (:56,:60)."""
+    h = homology.select(
+        F.trim("structure1").alias("s1"),
+        F.trim("structure2").alias("s2"),
+        F.trim("relation").alias("rel"),
+        F.col("evidence_code"),
+        F.col("publication"),
+    ).where(
+        F.col("rel").isin("hom to", "not hom to", "ser hom to", "not ser hom to")
+    ).withColumn(
+        "uid",
+        F.sha2(F.concat_ws("\t", "s1", "rel", "s2",
+                           F.coalesce("evidence_code", F.lit("")), "publication"), 256),
+    ).withColumn(
+        "ann", F.concat(F.lit(ANNOTATION_PREFIX), F.col("uid"))
+    ).withColumn(
+        "ev", F.concat(F.col("ann"), F.lit("#evidence"))
+    ).withColumn(
+        "cls",
+        F.when(F.col("rel").startswith("not "), F.lit(NEG_HOMOLOGY_ANNOTATION))
+        .otherwise(F.lit(HOMOLOGY_ANNOTATION)),
+    )
+
+    def t(subj, pred, obj):
+        return [subj.alias("subj"), pred.alias("pred"), obj.alias("obj")]
+
+    core = (
+        h.select(*t(F.col("ann"), F.lit(vocab.RDF_TYPE), F.col("cls")))
+        .unionByName(h.select(*t(F.col("ann"), F.lit(ABOUT_STRUCTURE), F.col("s1"))))
+        .unionByName(h.select(*t(F.col("ann"), F.lit(ABOUT_STRUCTURE), F.col("s2"))))
+    )
+    ev = h.where(F.col("evidence_code").isNotNull())
+    evidence = (
+        ev.select(*t(F.col("ann"), F.lit(vocab.HAS_EVIDENCE), F.col("ev")))
+        .unionByName(ev.select(*t(F.col("ev"), F.lit(vocab.RDF_TYPE),
+                                  iri_fn.obo_iri_for_term_id(F.col("evidence_code")))))
+        .unionByName(ev.select(*t(F.col("ev"), F.lit(DC_SOURCE), F.col("publication"))))
+    )
+    return core.unionByName(evidence).dropDuplicates()

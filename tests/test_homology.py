@@ -223,3 +223,30 @@ def test_vahm_chains_derive_homology_edge(spark):
              if r["pred"] == homology.HH_MEMBER_OF}
     e1, e2 = sorted(exprs)
     assert (e1, e2) in derived and (e2, e1) in derived
+
+
+def test_simple_and_annotation_models(spark):
+    rows = [
+        ("u:a", "t:1", "hom to", "u:b", "t:2", "ECO:0000033", "PMID:1"),
+        ("u:c", "t:3", "not hom to", "u:d", "t:4", "ECO:0000034", "PMID:2"),
+    ]
+    h = spark.createDataFrame(
+        rows,
+        "structure1 string, taxon1 string, relation string, structure2 string, "
+        "taxon2 string, evidence_code string, publication string",
+    )
+    # simple model: positive rows only, reciprocal structure-level edges
+    simple = {(r["subj"], r["pred"], r["obj"])
+              for r in homology.homology_axioms_simple(h).collect()}
+    assert ("u:a", vocab.HOMOLOGOUS_TO, "u:b") in simple
+    assert ("u:b", vocab.HOMOLOGOUS_TO, "u:a") in simple
+    assert not any(o == "PMID:2" for _, _, o in simple)
+
+    # annotation model: every row typed positive/negative
+    ann = {(r["subj"], r["pred"], r["obj"])
+           for r in homology.homology_axioms_annotations(h).collect()}
+    types = {o for _, p, o in ann if p == vocab.RDF_TYPE and "Annotation" in o}
+    assert types == {homology.HOMOLOGY_ANNOTATION, homology.NEG_HOMOLOGY_ANNOTATION}
+    abouts = [o for _, p, o in ann if p == homology.ABOUT_STRUCTURE]
+    assert sorted(abouts) == ["u:a", "u:b", "u:c", "u:d"]
+    assert any(o == "PMID:2" for _, _, o in ann)
