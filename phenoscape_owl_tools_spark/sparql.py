@@ -8,7 +8,9 @@ this module covers the language subset its shipped queries actually use
 - ``PREFIX`` declarations, ``SELECT ?v ...`` and ``CONSTRUCT { ... }`` forms,
 - basic graph patterns: IRIs (``<...>`` or prefixed names), variables,
   ``a`` for rdf:type,
-- property paths: sequence ``p/q`` and star ``p*``,
+- property paths: sequence ``p/q``, star ``p*``, plus ``p+``, inverse
+  ``^p`` (per segment), alternation ``p1|p2`` (binds tighter than ``/``;
+  grouping parens unsupported),
 - ``FILTER(isIRI(?v))``,
 - ``FROM <graph>`` (ignored — the input DataFrame IS the graph),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
@@ -47,7 +49,7 @@ _IRI_RE = r"<[^<>\s]*>"
 _PNAME_RE = r"[A-Za-z][\w.-]*:[\w.-]*"
 _VAR_RE = r"\?[A-Za-z_]\w*"
 _TOKEN_RE = re.compile(
-    rf"({_IRI_RE}|{_VAR_RE}|{_PNAME_RE}|[{{}}()./*]|[A-Za-z_]\w*)"
+    rf"({_IRI_RE}|{_VAR_RE}|{_PNAME_RE}|[{{}}()./*|^+]|[A-Za-z_]\w*)"
 )
 # matches an absolute IRI (scheme://... or urn:-style); used for isIRI()
 _IS_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
@@ -61,8 +63,15 @@ class Term:
 
 @dataclass(frozen=True)
 class PathElem:
-    iri: str
-    star: bool
+    iri: str                      # first (or only) alternative
+    star: bool                    # p* — closure; zero-hop only mid-sequence
+    alts: tuple[str, ...] = ()    # p1|p2|... (includes iri); () = just iri
+    inverse: bool = False         # ^p — swap subject/object
+    plus: bool = False            # p+ — closure, never a zero-hop
+
+    @property
+    def iris(self) -> tuple[str, ...]:
+        return self.alts or (self.iri,)
 
 
 @dataclass(frozen=True)
@@ -146,25 +155,55 @@ class _Parser:
             return Term("iri", RDF_TYPE)
         return Term("iri", self.resolve(tok))
 
-    def path(self) -> tuple[PathElem, ...] | Term:
-        first = self.term()
-        if first.kind == "var" and self.peek() not in ("/", "*"):
-            return first  # variable predicate
-        elems = []
-        cur = first
-        while True:
-            if cur.kind != "iri":
+    def _path_elem(self, first: Term | None = None) -> PathElem:
+        """One segment: [^]iri(|[^]iri)*[*+]. Alternation binds tighter
+        than sequence here (``a|b/c`` = ``(a|b)/c``; SPARQL's grouping
+        parens are not supported — deviation documented in the module
+        docstring)."""
+        inverse = False
+        if first is None:
+            if self.peek() == "^":
+                self.next()
+                inverse = True
+            first = self.term()
+        if first.kind != "iri":
+            raise ValueError("SPARQL parse: variables not allowed inside paths")
+        alts = [first.value]
+        while self.peek() == "|":
+            self.next()
+            if self.peek() == "^":
+                raise ValueError("SPARQL parse: ^ applies to a whole segment, "
+                                 "not one alternative")
+            nxt = self.term()
+            if nxt.kind != "iri":
                 raise ValueError("SPARQL parse: variables not allowed inside paths")
-            star = False
-            if self.peek() == "*":
-                self.next()
-                star = True
-            elems.append(PathElem(cur.value, star))
-            if self.peek() == "/":
-                self.next()
-                cur = self.term()
-            else:
-                return tuple(elems)
+            alts.append(nxt.value)
+        star = plus = False
+        if self.peek() == "*":
+            self.next()
+            star = True
+        elif self.peek() == "+":
+            self.next()
+            plus = True
+        return PathElem(alts[0], star, tuple(alts), inverse, plus)
+
+    def path(self) -> tuple[PathElem, ...] | Term:
+        inverse_first = False
+        if self.peek() == "^":
+            self.next()
+            inverse_first = True
+        first = self.term()
+        if (not inverse_first and first.kind == "var"
+                and self.peek() not in ("/", "*", "+", "|")):
+            return first  # variable predicate
+        elems = [self._path_elem(first)]
+        if inverse_first:
+            elems[0] = PathElem(elems[0].iri, elems[0].star, elems[0].alts,
+                                True, elems[0].plus)
+        while self.peek() == "/":
+            self.next()
+            elems.append(self._path_elem())
+        return tuple(elems)
 
     def group(self) -> tuple[list[Pattern], list[str]]:
         self.expect("{")
@@ -261,7 +300,9 @@ class _Parser:
             for pat in patterns:
                 if isinstance(pat.path, Term):
                     pred = pat.path
-                elif len(pat.path) == 1 and not pat.path[0].star:
+                elif (len(pat.path) == 1 and not pat.path[0].star
+                      and not pat.path[0].plus and not pat.path[0].inverse
+                      and len(pat.path[0].iris) == 1):
                     pred = Term("iri", pat.path[0].iri)
                 else:
                     raise ValueError(
@@ -291,10 +332,12 @@ def _path_relation(triples: DataFrame, path: tuple[PathElem, ...]) -> DataFrame:
 
     rel: DataFrame | None = None
     for elem in path:
-        edges = triples.where(F.col("pred") == elem.iri).select(
+        edges = triples.where(F.col("pred").isin(*elem.iris)).select(
             F.col("subj").alias("s"), F.col("obj").alias("o")
         )
-        if elem.star:
+        if elem.inverse:
+            edges = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        if elem.star or elem.plus:
             step = transitive_closure(
                 edges.withColumnRenamed("s", "sub").withColumnRenamed("o", "sup")
             ).select(F.col("sub").alias("s"), F.col("sup").alias("o"))

@@ -215,3 +215,37 @@ def test_update_rejects_query_form(spark):
         sparql.update(_g(spark), "SELECT ?s WHERE { ?s ?p ?o . }")
     with pytest.raises(ValueError):
         sparql.evaluate(_g(spark), f"DELETE DATA {{ <{EX}a> <{RDFS_SUB}> <{EX}b> . }}")
+
+
+def test_path_alternation_inverse_plus(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "b", EX + "q", EX + "c"),
+            (EX + "c", EX + "p", EX + "d"),
+        ],
+    )
+    # alternation: p|q covers the whole chain
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?o WHERE { ?s ex:p|ex:q ?o . }")
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "b", EX + "c"), (EX + "c", EX + "d")}
+
+    # (p|q)+ = transitive closure over the union relation
+    qplus = (f"PREFIX ex: <{EX}>\n"
+             "SELECT ?s ?o WHERE { ?s ex:p|ex:q+ ?o . }")
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, qplus).collect()}
+    assert (EX + "a", EX + "d") in got and len(got) == 6
+
+    # inverse: ^p
+    qinv = (f"PREFIX ex: <{EX}>\n"
+            "SELECT ?s ?o WHERE { ?s ^ex:p ?o . }")
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, qinv).collect()}
+    assert got == {(EX + "b", EX + "a"), (EX + "d", EX + "c")}
+
+    # sequence with inverse segment: p/^q finds nothing; p/q then ^q/^p
+    qseq = (f"PREFIX ex: <{EX}>\n"
+            "SELECT ?s ?o WHERE { ?s ^ex:q/^ex:p ?o . }")
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, qseq).collect()}
+    assert got == {(EX + "c", EX + "a")}
