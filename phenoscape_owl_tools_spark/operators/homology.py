@@ -428,7 +428,7 @@ def homology_axioms_vahm(homology: DataFrame) -> DataFrame:
     return member.unionByName(evidence).unionByName(onto).dropDuplicates()
 
 
-HOMOLOGY_ANNOTATION = PHENOSCAPE_ANN = "http://example.org/HomologyAnnotation"
+HOMOLOGY_ANNOTATION = "http://example.org/HomologyAnnotation"
 NEG_HOMOLOGY_ANNOTATION = "http://example.org/NegativeHomologyAnnotation"
 ABOUT_STRUCTURE = "http://example.org/about_structure"
 
