@@ -175,3 +175,169 @@ def matmul_topk(
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: k-means coarse quantizer + probed cell search
+# ---------------------------------------------------------------------------
+
+def ivf_fit(embeddings: DataFrame, n_cells: int = 16, n_iters: int = 5):
+    """Deterministic k-means coarse quantizer over unit vectors.
+
+    Returns a numpy (n_cells, dim) centroid matrix (driver-side — the
+    codebook is dimension-scale and broadcasts; only the corpus is big).
+
+    Determinism contract (engine-wide: identical output across runs and
+    partitionings):
+    - init = the ``n_cells`` lowest ``vec_id`` vectors (content-derived,
+      not sampled);
+    - fixed ``n_iters`` Lloyd rounds (no data-dependent stopping);
+    - each round computes per-partition partial (cell, sum, count) via
+      Arrow-batched GEMM assignment, then reduces the partials on the
+      driver in sorted cell order — float addition order is fixed, so
+      centroids are bit-stable under re-partitioning up to the partial
+      grouping, which parquet layout fixes for a given input.
+
+    Empty cells keep their previous centroid (standard Lloyd fallback).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    spark = embeddings.sparkSession
+    seed_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cent = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1, keepdims=True)
+    cent /= np.where(norms == 0, 1.0, norms)
+
+    partial_schema = "cell int, cnt long, vsum array<double>"
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                m = m / np.where(n == 0, 1.0, n)
+                cells = np.argmax(m @ c.T, axis=1)
+                out = []
+                for cell in np.unique(cells):
+                    sel = m[cells == cell]
+                    out.append((int(cell), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(out, columns=["cell", "cnt", "vsum"])
+
+        rows = (
+            embeddings.select("embedding").mapInPandas(partials, partial_schema)
+            .collect()
+        )
+        bc.unpersist()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent))
+        for r in sorted(rows, key=lambda r: (r["cell"], r["cnt"], tuple(r["vsum"]))):
+            sums[r["cell"]] += np.array(r["vsum"])
+            counts[r["cell"]] += r["cnt"]
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        cent /= np.where(norms == 0, 1.0, norms)
+    return cent
+
+
+def ivf_assign(embeddings: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cell, embedding): nearest-centroid assignment, Arrow GEMM.
+
+    At scale this is the write-time partitioning: the corpus is bucketed /
+    partitioned by ``cell`` once, and every search touches only probed
+    cells' partitions (partition pruning on the equi-join key).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            mn = m / np.where(n == 0, 1.0, n)
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            pdf["cell"] = np.argmax(mn @ c.T, axis=1).astype("int32")
+            yield pdf[["vec_id", "cell", "embedding"]]
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell int, embedding array<float>"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 5,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest cells per query.
+
+    The third ANN path next to exact GEMM (:func:`matmul_topk`) and
+    sign-bucket LSH (:func:`bucket_lsh_topk`): a *trained* partition of the
+    corpus, so candidate counts track the data's cluster structure instead
+    of fixed hyperplanes. ``nprobe == n_cells`` degenerates to exact search
+    (recall 1 by construction — the parity test uses this).
+
+    Scale shape: corpus shuffles ONCE on ``cell`` (or is bucketed at write
+    time); queries explode to their probe list and equi-join on ``cell`` —
+    no cartesian anywhere; scoring is the same JVM-side fold as LSH.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_fit(embeddings, n_cells=n_cells, n_iters=n_iters)
+    assigned = ivf_assign(embeddings, centroids).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        unit_vector_col(F.col("embedding")).alias("ce"),
+    )
+    q_rows = queries.select("query_id", "embedding").collect()
+    spark = embeddings.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], MATMUL_SCHEMA)
+    c = np.asarray(centroids, dtype=np.float64)
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        v = v / (n if n else 1.0)
+        order = np.argsort(-(c @ v), kind="stable")[: min(nprobe, len(c))]
+        probe_rows.extend((r["query_id"], int(cell)) for cell in order)
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    q = queries.select("query_id", unit_vector_col(F.col("embedding")).alias("qe"))
+    scored = (
+        F.broadcast(probes.join(q, "query_id"))
+        .join(assigned, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_col(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

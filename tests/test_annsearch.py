@@ -109,3 +109,44 @@ def test_zero_norm_embedding_is_not_nan(spark):
     )
     # zero vector has cosine 0 with everything: below threshold, no NaNs
     assert embedding_near_dups(emb, threshold=0.1).count() == 0
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    """nprobe == n_cells probes every cell -> exact search; results must
+    equal brute_force_topk including tie-breaks."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+             for r in annsearch.brute_force_topk(emb, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+           for r in annsearch.ivf_topk(emb, queries, k=5, n_cells=8,
+                                       nprobe=8, n_iters=3).collect()}
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = annsearch.brute_force_topk(emb, queries, k=5)
+    got = annsearch.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4, n_iters=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.5  # half the cells probed; embeddings are near-random
+    # every query still returns k rows (probed cells are non-empty)
+    from collections import Counter
+    per_q = Counter(q for q, _ in g)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_ivf_fit_deterministic(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    c1 = annsearch.ivf_fit(emb, n_cells=4, n_iters=2)
+    c2 = annsearch.ivf_fit(emb.repartition(7), n_cells=4, n_iters=2)
+    assert np.allclose(c1, c2, atol=1e-12)
