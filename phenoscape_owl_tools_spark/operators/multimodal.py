@@ -5,10 +5,12 @@ The reference ingests image-depiction records (image URL + depicted
 structure, PhenoteImageDepictionsToOWL.scala:31-61); our interleaved input
 carries those as media spans (kind='media', media_ref). This module makes
 the Spark-side plumbing real — schema, partitioning, UDF signature, Arrow
-batch shape — while the actual image/audio decode is STUBBED behind an
-import-try (decode libraries are not available in this environment): the
-deterministic fake derives all "decoded" metadata from sha2(media_ref), so
-tests and SQL oracles can verify the full path end-to-end.
+batch shape — and the decode itself is REAL for uncompressed container
+formats (BMP 24/32-bit images, RIFF/WAVE PCM audio: pure struct + numpy,
+no external library needed). Compressed formats (JPEG/PNG/MP4) are the one
+remaining stub behind an import-try — those genuinely need codec libraries
+this environment does not ship. A deterministic fake decode also remains
+for SQL-oracle-checkable end-to-end runs over refs without payloads.
 
 Scale notes (100 TB): media bytes are the dominant payload; they never
 shuffle — fetch/decode/feature-extract is map-only over Arrow batches, and
@@ -69,16 +71,79 @@ def attach_media_bytes(media_spans: DataFrame) -> DataFrame:
     return media_spans.mapInPandas(run, schema)
 
 
-def _decode_real(media_bytes: bytes) -> dict:
-    """Real decode path — requires an image library, absent here."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env has no PIL
+def decode_bmp(data: bytes) -> tuple[int, int, int, str]:
+    """Decode an uncompressed BMP (BI_RGB, 24/32 bpp): pure struct+numpy.
+
+    Returns (width, height, n_frames=1, feature_sig) where feature_sig is
+    sha256 over the row-major pixel array — byte-stable across machines.
+    """
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            "real media decode requires an image library (PIL/ffmpeg); "
-            "this environment ships none — use deterministic=True"
-        ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(media_bytes)) here")
+            f"compressed/paletted BMP (compression={compression}, bpp={bpp}) "
+            "needs a codec library"
+        )
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp) + 3) & ~3  # rows pad to 4 bytes
+    rows = abs(height)
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * rows, offset=pix_off)
+    px = px.reshape(rows, stride)[:, : width * bytes_pp]
+    if height > 0:
+        px = px[::-1]  # bottom-up storage -> top-down array
+    sig = hashlib.sha256(np.ascontiguousarray(px).tobytes()).hexdigest()[:16]
+    return width, rows, 1, sig
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, str]:
+    """Decode RIFF/WAVE PCM: returns (n_channels, bits_per_sample,
+    n_sample_frames, feature_sig). feature_sig = sha256 of the sample data.
+    """
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos, channels, bits, payload = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            (fmt, channels) = struct.unpack_from("<HH", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1:  # 1 = PCM
+                raise NotImplementedError(
+                    f"non-PCM WAVE (format={fmt}) needs a codec library")
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or payload is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    n_frames = len(payload) // (channels * (bits // 8))
+    sig = hashlib.sha256(payload).hexdigest()[:16]
+    return channels, bits, n_frames, sig
+
+
+def decode_media(data: bytes) -> tuple[int, int, int, str]:
+    """Sniff + decode a media payload. BMP/WAV are fully decoded here;
+    compressed formats raise NotImplementedError (codec libraries are not
+    available in this environment — the one remaining stub)."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    raise NotImplementedError(
+        "compressed media formats (JPEG/PNG/MP4/...) require codec "
+        "libraries not shipped in this environment"
+    )
 
 
 def _decode_fake(media_ref: str) -> tuple[int, int, int, str]:
@@ -102,10 +167,14 @@ def _decode_fake(media_ref: str) -> tuple[int, int, int, str]:
 def extract_media_features(media_spans: DataFrame, deterministic: bool = True) -> DataFrame:
     """Decode media spans into typed feature rows via ``mapInPandas``.
 
-    Input needs (doc_id, media_ref); output is MEDIA_FEATURE_SCHEMA. The
-    decode body is per-batch vectorized Python over Arrow; swap
-    ``deterministic=False`` for the real decoder when libraries exist.
+    ``deterministic=True``: metadata from sha2(media_ref) (SQL-oracle
+    reproducible; needs only (doc_id, media_ref)). ``deterministic=False``:
+    REAL decode of the ``media_bytes`` binary column (see
+    :func:`decode_media` — BMP/WAV decoded fully, compressed formats raise).
+    Either way the decode is map-only over Arrow batches; only feature rows
+    continue downstream.
     """
+    cols = ["doc_id", "media_ref"] + ([] if deterministic else ["media_bytes"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,14 +182,15 @@ def extract_media_features(media_spans: DataFrame, deterministic: bool = True) -
                 "doc_id": [], "media_ref": [], "width": [],
                 "height": [], "n_frames": [], "feature_sig": [],
             }
-            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+            for _, row in pdf.iterrows():
+                ref = row["media_ref"]
                 if ref is None:
                     continue
                 if deterministic:
                     w, h, nf, sig = _decode_fake(ref)
                 else:
-                    _decode_real(b"")
-                rows["doc_id"].append(doc_id)
+                    w, h, nf, sig = decode_media(bytes(row["media_bytes"]))
+                rows["doc_id"].append(row["doc_id"])
                 rows["media_ref"].append(ref)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -132,9 +202,7 @@ def extract_media_features(media_spans: DataFrame, deterministic: bool = True) -
                 {k: pd.Series(v, dtype="object") for k, v in rows.items()}
             )
 
-    return media_spans.select("doc_id", "media_ref").mapInPandas(
-        run, MEDIA_FEATURE_SCHEMA
-    )
+    return media_spans.select(*cols).mapInPandas(run, MEDIA_FEATURE_SCHEMA)
 
 
 def frame_sample_refs(features: DataFrame, stride: int = 2) -> DataFrame:

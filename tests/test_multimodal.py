@@ -53,9 +53,10 @@ def test_extract_media_features_deterministic(spark, spans):
         assert 1 <= r["n_frames"] <= 16
 
 
-def test_real_decode_is_explicitly_stubbed():
+def test_compressed_decode_is_explicitly_stubbed():
+    # JPEG magic: compressed formats are the one remaining stub
     with pytest.raises(NotImplementedError):
-        multimodal._decode_real(b"\x00")
+        multimodal.decode_media(b"\xff\xd8\xff\xe0rest")
 
 
 def test_frame_sampling_stride(spark, spans):
@@ -78,3 +79,79 @@ def test_text_spans_unaffected_by_media(spark, spans):
     assert len(tspans) == len(texts)
     for r in tspans:
         assert r["text"] == texts[r["doc_id"]]
+
+
+def _make_bmp(width, height, seed=7):
+    """Valid uncompressed 24-bit BMP, deterministic pixels."""
+    import struct
+
+    stride = ((width * 3) + 3) & ~3
+    pix = bytearray()
+    v = seed
+    for _ in range(height):
+        row = bytearray()
+        for _ in range(width):
+            v = (v * 1103515245 + 12345) & 0x7FFFFFFF
+            row += bytes(((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF))
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    header_size = 14 + 40
+    file_size = header_size + len(pix)
+    return (
+        b"BM" + struct.pack("<IHHI", file_size, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pix), 2835, 2835, 0, 0)
+        + bytes(pix)
+    )
+
+
+def _make_wav(n_frames, channels=2, rate=8000, seed=3):
+    import struct
+
+    v, samples = seed, bytearray()
+    for _ in range(n_frames * channels):
+        v = (v * 1103515245 + 12345) & 0x7FFFFFFF
+        samples += struct.pack("<h", (v & 0xFFFF) - 32768)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + bytes(samples))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_bmp_wav_decode():
+    w, h, nf, sig = multimodal.decode_media(_make_bmp(17, 9))
+    assert (w, h, nf) == (17, 9, 1)
+    assert len(sig) == 16
+    # same pixels -> same sig; different seed -> different sig
+    assert multimodal.decode_media(_make_bmp(17, 9))[3] == sig
+    assert multimodal.decode_media(_make_bmp(17, 9, seed=8))[3] != sig
+
+    ch, bits, frames, wsig = multimodal.decode_media(_make_wav(250))
+    assert (ch, bits, frames) == (2, 16, 250)
+    assert len(wsig) == 16
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_real_decode_through_spark(spark):
+    """End-to-end: binary payload column -> mapInPandas decode -> features."""
+    rows = [
+        ("d1", "m1.bmp", bytearray(_make_bmp(8, 4))),
+        ("d2", "m2.wav", bytearray(_make_wav(100, channels=1))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, media_bytes binary"
+    )
+    got = {r["media_ref"]: r for r in
+           multimodal.extract_media_features(df, deterministic=False).collect()}
+    assert got["m1.bmp"]["width"] == 8 and got["m1.bmp"]["height"] == 4
+    assert got["m1.bmp"]["n_frames"] == 1
+    assert got["m2.wav"]["n_frames"] == 100 and got["m2.wav"]["width"] == 1
+    # decode is deterministic through the Arrow path too
+    again = {r["media_ref"]: r["feature_sig"] for r in
+             multimodal.extract_media_features(df.repartition(3),
+                                               deterministic=False).collect()}
+    assert again == {k: v["feature_sig"] for k, v in got.items()}
