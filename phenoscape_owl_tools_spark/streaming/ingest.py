@@ -277,3 +277,64 @@ def sessionize_stream_event_time(
             "n_events",
         )
     )
+
+
+def run_incremental_closure(
+    spark: SparkSession,
+    edges_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    schema: str = "sub string, sup string",
+    max_files_per_trigger: int | None = None,
+) -> str:
+    """Continuous closure maintenance: new edge files stream in; each
+    micro-batch re-materializes the transitive closure INCREMENTALLY
+    (operators.closure.incremental_closure_update — cost tracks new
+    entailments, not closure size) and writes a new closure version.
+
+    Versioning: each batch writes ``{out_path}/v=<k>`` then updates the
+    ``_LATEST`` pointer file — readers always load a complete snapshot
+    (the parquet-dir analog of an Iceberg snapshot commit; in production
+    these are table snapshots and the pointer is the catalog). Returns the
+    final snapshot path.
+    """
+    import os
+
+    from phenoscape_owl_tools_spark.operators.closure import (
+        incremental_closure_update,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    edges = reader.parquet(edges_path)
+
+    latest_file = os.path.join(out_path, "_LATEST")
+
+    def current_closure():
+        if os.path.exists(latest_file):
+            with open(latest_file) as fh:
+                return spark.read.parquet(fh.read().strip())
+        return spark.createDataFrame([], "sub string, sup string")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates().localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        updated = incremental_closure_update(current_closure(), batch_df)
+        version_path = os.path.join(out_path, f"v={batch_id}")
+        updated.write.mode("overwrite").parquet(version_path)
+        tmp = latest_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version_path)
+        os.replace(tmp, latest_file)  # atomic pointer swap
+
+    (
+        edges.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    with open(latest_file) as fh:
+        return fh.read().strip()

@@ -166,3 +166,48 @@ def test_derived_restriction_edges_compose_with_asserted_facts(spark):
     }
     assert ("rx", "ry") in got  # monotonicity
     assert ("a", "ry") in got  # composition through the DERIVED edge
+
+
+def test_incremental_closure_matches_full_recompute(spark):
+    """Insert a batch of edges into a materialized closure; result must
+    equal transitive_closure over the unioned edge set."""
+    base_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q")], ["sub", "sup"]
+    )
+    base = closure.transitive_closure(base_edges)
+    # new batch: bridges two old regions (c->x) and adds a fresh chain
+    new = spark.createDataFrame([("c", "x"), ("y", "z"), ("m", "n")], ["sub", "sup"])
+    inc = closure.incremental_closure_update(base, new)
+    full = closure.transitive_closure(base_edges.unionByName(new))
+    a = {(r["sub"], r["sup"]) for r in inc.collect()}
+    b = {(r["sub"], r["sup"]) for r in full.collect()}
+    assert a == b
+    # the bridge must have closed old∘new∘old paths: a ->* z
+    assert ("a", "z") in a
+
+
+def test_incremental_closure_with_restrictions(spark):
+    """Monotonicity fires on newly inserted subclass facts."""
+    base_edges = spark.createDataFrame([("a", "b")], ["sub", "sup"])
+    restrictions = spark.createDataFrame(
+        [("r_a", "p", "a"), ("r_b", "p", "b"), ("r_c", "p", "c")],
+        ["iri", "prop", "filler"],
+    )
+    base = closure.transitive_closure(base_edges, restrictions=restrictions)
+    new = spark.createDataFrame([("b", "c")], ["sub", "sup"])
+    inc = closure.incremental_closure_update(base, new, restrictions=restrictions)
+    full = closure.transitive_closure(
+        base_edges.unionByName(new), restrictions=restrictions
+    )
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+    got = {(r["sub"], r["sup"]) for r in inc.collect()}
+    # monotonicity entailments through the new edge
+    assert ("r_b", "r_c") in got and ("r_a", "r_c") in got
+
+
+def test_incremental_closure_empty_batch_is_identity(spark):
+    base_edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["sub", "sup"])
+    base = closure.transitive_closure(base_edges)
+    empty = spark.createDataFrame([], "sub string, sup string")
+    inc = closure.incremental_closure_update(base, empty)
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in base.collect()}

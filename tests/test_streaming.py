@@ -172,3 +172,29 @@ def test_sessionize_event_time_matches_stateful(spark, tmp_path):
     # user 2's two out-of-order events merged into ONE session of 2 events
     u2 = by_user.get(2, [])
     assert len(u2) == 1 and u2[0]["n_events"] == 2
+
+
+def test_incremental_closure_stream_matches_batch(spark, tmp_path):
+    """Two micro-batches of edges; the final streamed closure snapshot
+    equals a from-scratch transitive_closure over all edges."""
+    from phenoscape_owl_tools_spark.operators import closure as closure_ops
+
+    b1 = [("a", "b"), ("b", "c")]
+    b2 = [("c", "d"), ("x", "y")]
+    in_dir = tmp_path / "edges_in"
+    spark.createDataFrame(b1, ["sub", "sup"]).coalesce(1).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(b2, ["sub", "sup"]).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    final = ingest.run_incremental_closure(
+        spark,
+        str(in_dir),
+        str(tmp_path / "closure_out"),
+        str(tmp_path / "closure_ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = {tuple(r) for r in spark.read.parquet(final).collect()}
+    full = closure_ops.transitive_closure(
+        spark.createDataFrame(b1 + b2, ["sub", "sup"])
+    )
+    assert got == {tuple(r) for r in full.collect()}
+    assert ("a", "d") in got  # closed across the two batches
