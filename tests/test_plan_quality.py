@@ -89,3 +89,23 @@ def test_embedding_dedup_contract_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_topk_has_no_cartesian(spark):
+    """IVF search must stay an equi-join on the probed cell key."""
+    from pyspark.sql import functions as F
+
+    from phenoscape_owl_tools_spark.operators import annsearch
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = annsearch.ivf_topk(emb, queries, k=3, n_cells=4, nprobe=2, n_iters=1)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # probes broadcast to the corpus
