@@ -211,6 +211,8 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16, n_iters: int = 5):
         .limit(n_cells)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("ivf_fit: embeddings frame is empty")
     cent = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     norms = np.linalg.norm(cent, axis=1, keepdims=True)
     cent /= np.where(norms == 0, 1.0, norms)
@@ -305,6 +307,11 @@ def ivf_topk(
     """
     import numpy as np
 
+    spark = embeddings.sparkSession
+    # collect queries FIRST: an empty query set must not pay the k-means fit
+    q_rows = queries.select("query_id", "embedding").collect()
+    if not q_rows:
+        return spark.createDataFrame([], MATMUL_SCHEMA)
     if centroids is None:
         centroids = ivf_fit(embeddings, n_cells=n_cells, n_iters=n_iters)
     assigned = ivf_assign(embeddings, centroids).select(
@@ -312,10 +319,6 @@ def ivf_topk(
         "cell",
         unit_vector_col(F.col("embedding")).alias("ce"),
     )
-    q_rows = queries.select("query_id", "embedding").collect()
-    spark = embeddings.sparkSession
-    if not q_rows:
-        return spark.createDataFrame([], MATMUL_SCHEMA)
     c = np.asarray(centroids, dtype=np.float64)
     probe_rows = []
     for r in q_rows:

@@ -44,6 +44,29 @@ def equiv_to_subclass(equiv: DataFrame, a: str = "a", b: str = "b") -> DataFrame
     return fwd.unionByName(rev)
 
 
+def _monotonicity_rule(delta: DataFrame, r1: DataFrame) -> DataFrame:
+    """EL monotonicity: (X ⊑ Y) ∧ R1=(P some X) ∧ R2=(P some Y) ⟹ R1 ⊑ R2.
+
+    ``r1`` columns: (r_prop, r_filler, r_iri). Shared by the batch fixpoint
+    (:func:`transitive_closure`) and the insertion-delta path
+    (:func:`incremental_closure_update`) so the rule cannot diverge.
+    """
+    lhs = delta.join(r1, delta["sub"] == r1["r_filler"]).select(
+        F.col("r_iri").alias("m_sub"),
+        F.col("r_prop").alias("m_prop"),
+        F.col("sup").alias("m_sup_filler"),
+    )
+    r2 = r1.select(
+        F.col("r_prop").alias("m_prop2"),
+        F.col("r_filler").alias("m_filler2"),
+        F.col("r_iri").alias("m_iri2"),
+    )
+    return lhs.join(
+        r2,
+        (lhs["m_prop"] == r2["m_prop2"]) & (lhs["m_sup_filler"] == r2["m_filler2"]),
+    ).select(F.col("m_sub").alias("sub"), F.col("m_iri2").alias("sup"))
+
+
 def transitive_closure(
     edges: DataFrame,
     restrictions: DataFrame | None = None,
@@ -75,16 +98,7 @@ def transitive_closure(
     def monotonicity(delta: DataFrame) -> DataFrame:
         if restrictions is None:
             return None
-        lhs = delta.join(r1, delta["sub"] == r1["r_filler"]).select(
-            F.col("r_iri").alias("m_sub"), F.col("r_prop").alias("m_prop"), F.col("sup").alias("m_sup_filler")
-        )
-        r2 = r1.select(
-            F.col("r_prop").alias("m_prop2"), F.col("r_filler").alias("m_filler2"), F.col("r_iri").alias("m_iri2")
-        )
-        return lhs.join(
-            r2,
-            (lhs["m_prop"] == r2["m_prop2"]) & (lhs["m_sup_filler"] == r2["m_filler2"]),
-        ).select(F.col("m_sub").alias("sub"), F.col("m_iri2").alias("sup"))
+        return _monotonicity_rule(delta, r1)
 
     # The closure accumulates as a union of barrier-materialized deltas:
     # every branch is an independent parquet scan (iterbarrier.py — plain
@@ -321,9 +335,15 @@ def property_chain_closure(
     full = asrt
     delta = asrt
     for it in range(max_iterations):
+        derived = derive(delta, full)
+        if not keep_self_loops:
+            # with keep_self_loops the DERIVED reflexive entailments must
+            # survive too (rolification: prop ∘ Top compositions land on
+            # (x, x) before extending to (x, y)); the filter is a cycle
+            # guard for the VAHM/closure paths only
+            derived = derived.where(F.col("s") != F.col("o"))
         new = barrier(
-            derive(delta, full)
-            .where(F.col("s") != F.col("o"))
+            derived
             .dropDuplicates()
             .join(full, on=["p", "s", "o"], how="left_anti"),
             "delta",
@@ -388,20 +408,7 @@ def incremental_closure_update(
     def monotonicity(delta: DataFrame) -> DataFrame | None:
         if restrictions is None:
             return None
-        lhs = delta.join(r1, delta["sub"] == r1["r_filler"]).select(
-            F.col("r_iri").alias("m_sub"),
-            F.col("r_prop").alias("m_prop"),
-            F.col("sup").alias("m_sup_filler"),
-        )
-        r2 = r1.select(
-            F.col("r_prop").alias("m_prop2"),
-            F.col("r_filler").alias("m_filler2"),
-            F.col("r_iri").alias("m_iri2"),
-        )
-        return lhs.join(
-            r2,
-            (lhs["m_prop"] == r2["m_prop2"]) & (lhs["m_sup_filler"] == r2["m_filler2"]),
-        ).select(F.col("m_sub").alias("sub"), F.col("m_iri2").alias("sup"))
+        return _monotonicity_rule(delta, r1)
 
     def compose(a: DataFrame, b: DataFrame) -> DataFrame:
         return (

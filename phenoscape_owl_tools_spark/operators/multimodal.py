@@ -182,15 +182,17 @@ def extract_media_features(media_spans: DataFrame, deterministic: bool = True) -
                 "doc_id": [], "media_ref": [], "width": [],
                 "height": [], "n_frames": [], "feature_sig": [],
             }
-            for _, row in pdf.iterrows():
-                ref = row["media_ref"]
+            payloads = pdf["media_bytes"] if "media_bytes" in pdf else pdf["media_ref"]
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], payloads):
                 if ref is None:
                     continue
                 if deterministic:
                     w, h, nf, sig = _decode_fake(ref)
                 else:
-                    w, h, nf, sig = decode_media(bytes(row["media_bytes"]))
-                rows["doc_id"].append(row["doc_id"])
+                    if payload is None:
+                        continue  # payload-less span: skip, like a null ref
+                    w, h, nf, sig = decode_media(bytes(payload))
+                rows["doc_id"].append(doc_id)
                 rows["media_ref"].append(ref)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -96,15 +96,16 @@ def _tokenize(text: str) -> Iterator[tuple[str, str]]:
         pos = m.end()
 
 
-def _split_axioms(text: str) -> tuple[dict[str, str], list[str]]:
-    """Split a document into (prefixes, top-level axiom strings).
+def _split_axioms(text: str) -> tuple[dict[str, str], list[list]]:
+    """Split a document into (prefixes, top-level axiom token lists).
 
     Linear scan; ``Ontology(...)`` wrapping is unwrapped, ``Prefix``
     declarations collected, every other depth-0 ``Name(...)`` chunk
-    returned verbatim for the recursive parser.
+    returned as its (kind, value) token slice for the recursive parser —
+    no re-tokenization in ``parse_document``.
     """
     prefixes: dict[str, str] = {}
-    axioms: list[str] = []
+    axioms: list[list] = []
     toks = list(_tokenize(text))
     i, n = 0, len(toks)
     while i < n:
@@ -268,14 +269,19 @@ def _axiom_rows(src: str, toks: list, prefixes: dict[str, str]) -> Iterator[tupl
 
 def parse_document(text: str, src: str = "", strict: bool = False) -> list[tuple]:
     """Parse one OFN document into axiom rows (pure Python, testable)."""
-    prefixes, axiom_toks = _split_axioms(text)
-    rows: list[tuple] = []
-    for toks in axiom_toks:
-        name = toks[0][1]
-        got = list(_axiom_rows(src, toks, prefixes))
-        if strict and not got and name not in ("Annotation",):
-            raise OfnParseError(f"unsupported axiom {name}")
-        rows.extend(got)
+    try:
+        prefixes, axiom_toks = _split_axioms(text)
+        rows: list[tuple] = []
+        for toks in axiom_toks:
+            name = toks[0][1]
+            got = list(_axiom_rows(src, toks, prefixes))
+            if strict and not got and name not in ("Annotation",):
+                raise OfnParseError(f"unsupported axiom {name}")
+            rows.extend(got)
+    except IndexError as exc:
+        # unguarded token lookahead off the end = truncated document; keep
+        # the module's documented error contract instead of a raw IndexError
+        raise OfnParseError(f"truncated OFN document ({src or 'inline'})") from exc
     return rows
 
 
@@ -407,6 +413,3 @@ def negation_hierarchy_axioms(axioms: DataFrame) -> tuple[DataFrame, DataFrame]:
     eq_ax = negation.negation_equivalence_axioms(negates, comps)
     return sub_ax, eq_ax
 
-
-def F_col(name):
-    return F.col(name)

@@ -9,8 +9,12 @@ this module covers the language subset its shipped queries actually use
 - basic graph patterns: IRIs (``<...>`` or prefixed names), variables,
   ``a`` for rdf:type,
 - property paths: sequence ``p/q``, star ``p*``, plus ``p+``, inverse
-  ``^p`` (per segment), alternation ``p1|p2`` (binds tighter than ``/``;
-  grouping parens unsupported),
+  ``^p`` (per segment), alternation ``p1|p2``. DEVIATION from SPARQL 1.1
+  precedence: grouping parens are unsupported, alternation binds tighter
+  than ``/``, and a trailing ``*``/``+`` applies to the WHOLE alternation
+  segment — ``p|q+`` here means ``(p|q)+``, where the spec reads
+  ``p | (q+)``. Queries needing spec grouping must be rewritten as
+  separate patterns/unions,
 - ``FILTER(isIRI(?v))``,
 - ``FROM <graph>`` (ignored — the input DataFrame IS the graph),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,

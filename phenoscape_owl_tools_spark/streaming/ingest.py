@@ -336,5 +336,16 @@ def run_incremental_closure(
         .start()
         .awaitTermination()
     )
+    if not os.path.exists(latest_file):
+        # legitimate 'nothing ingested yet': commit an empty snapshot so
+        # callers always get a readable closure path
+        version_path = os.path.join(out_path, "v=empty")
+        spark.createDataFrame([], "sub string, sup string").write.mode(
+            "overwrite"
+        ).parquet(version_path)
+        tmp = latest_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version_path)
+        os.replace(tmp, latest_file)
     with open(latest_file) as fh:
         return fh.read().strip()

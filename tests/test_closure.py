@@ -211,3 +211,18 @@ def test_incremental_closure_empty_batch_is_identity(spark):
     empty = spark.createDataFrame([], "sub string, sup string")
     inc = closure.incremental_closure_update(base, empty)
     assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in base.collect()}
+
+
+def test_chain_saturation_derives_reflexive_entailments_with_self_loops(spark):
+    """keep_self_loops must keep DERIVED self-loops too: role1 ∘ Top lands
+    on (x, x) before extending — a self-homologous rolification row."""
+    r1, top, r2, prop = "r1", "owl:Top", "r2", "hom"
+    facts = spark.createDataFrame(
+        [(r1, "x", "x"), (top, "x", "x"), (r2, "x", "x")],
+        "p string, s string, o string",
+    )
+    chains = [(r1, top, "aux"), ("aux", r2, prop)]
+    sat = closure.property_chain_closure(facts, chains, keep_self_loops=True)
+    got = {(r["p"], r["s"], r["o"]) for r in sat.collect()}
+    assert ("aux", "x", "x") in got       # derived reflexive intermediate
+    assert (prop, "x", "x") in got        # self-homology entailed
