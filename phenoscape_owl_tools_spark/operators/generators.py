@@ -215,3 +215,26 @@ def instantiate_class_assertions(expressions: DataFrame) -> DataFrame:
         sk2.alias("subj"), F.lit(vocab.RDF_TYPE).alias("pred"), F.col("filler").alias("obj")
     )
     return hop1.unionByName(hop2).unionByName(typing).dropDuplicates()
+
+
+def expand_profile_semantics(
+    class_assertions: DataFrame, expression_defs: DataFrame
+) -> DataFrame:
+    """ParseProfileSemantics.tboxWithSemanticsForProfiles
+    (scripts/ParseProfileSemantics.scala:13-36): for every class referenced
+    by a profile's class assertions, pull in the defining axioms of the
+    content-named expression classes it uses.
+
+    The reference decodes expression IRIs back into OWL expressions (its
+    IRIs embed the serialized expression); the engine's expression IRIs are
+    content HASHES, so invertibility comes from the definition table
+    instead: ``expression_defs(subj, pred, obj)`` — the def triples every
+    generator emits when it mints an expression IRI (expr ⊑ structure,
+    expr in_taxon T, owl:hasSelf, ...). Semantically identical output: the
+    subset of def triples reachable from the asserted classes.
+
+    ``class_assertions(individual, cls)``. One leftsemi join — the def
+    table never expands, it is filtered.
+    """
+    used = class_assertions.select(F.col("cls").alias("subj")).dropDuplicates()
+    return expression_defs.join(used, on="subj", how="leftsemi")

@@ -94,3 +94,28 @@ def test_normalize_properties(spark):
     )
     got = {r["pred"] for r in generators.normalize_properties(t).collect()}
     assert got == {vocab.PART_OF, "keep"}
+
+
+def test_expand_profile_semantics(spark):
+    """Only def triples of classes actually asserted survive."""
+    from phenoscape_owl_tools_spark.operators.generators import (
+        expand_profile_semantics,
+    )
+
+    assertions = spark.createDataFrame(
+        [("ind1", "expr:A"), ("ind2", "cls:plain")],
+        ["individual", "cls"],
+    )
+    defs = spark.createDataFrame(
+        [
+            ("expr:A", "rdfs:subClassOf", "cls:S"),
+            ("expr:A", "in_taxon", "t:1"),
+            ("expr:B", "rdfs:subClassOf", "cls:T"),  # unreferenced
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {tuple(r) for r in expand_profile_semantics(assertions, defs).collect()}
+    assert got == {
+        ("expr:A", "rdfs:subClassOf", "cls:S"),
+        ("expr:A", "in_taxon", "t:1"),
+    }
