@@ -15,7 +15,8 @@ this module covers the language subset its shipped queries actually use
   segment — ``p|q+`` here means ``(p|q)+``, where the spec reads
   ``p | (q+)``. Queries needing spec grouping must be rewritten as
   separate patterns/unions,
-- ``FILTER(isIRI(?v))``,
+- ``FILTER(isIRI(?v))``, ``OPTIONAL { ... }``, ``{ ... } UNION { ... }``
+  (one level — no nesting inside OPTIONAL/UNION groups),
 - ``FROM <graph>`` (ignored — the input DataFrame IS the graph),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
   ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
@@ -95,6 +96,10 @@ class Query:
     # update-only (SPARQL 1.1 Update, RunSPARQLUpdate.scala:1-29):
     delete_template: list[tuple[Term, Term, Term]] | None = None
     insert_template: list[tuple[Term, Term, Term]] | None = None
+    # group algebra: OPTIONAL {..} groups (left-joined on shared vars) and
+    # {..} UNION {..} blocks (each a list of arms)
+    optionals: list[list[Pattern]] | None = None
+    unions: list[list[list[Pattern]]] | None = None
 
 
 def _strip_comments(text: str) -> str:
@@ -209,11 +214,46 @@ class _Parser:
             elems.append(self._path_elem())
         return tuple(elems)
 
-    def group(self) -> tuple[list[Pattern], list[str]]:
+    def group(self) -> tuple[list[Pattern], list[str], list, list]:
+        """Parse { ... } into (patterns, isIRI-filter vars, optionals,
+        unions). OPTIONAL / UNION sub-groups may contain only basic
+        patterns and FILTER(isIRI) (no nesting)."""
         self.expect("{")
         patterns: list[Pattern] = []
         filters: list[str] = []
+        optionals: list[list[Pattern]] = []
+        unions: list[list[list[Pattern]]] = []
         while self.peek() is not None and self.peek() != "}":
+            if self.peek().lower() == "optional":
+                self.next()
+                sub_p, sub_f, sub_o, sub_u = self.group()
+                if sub_o or sub_u:
+                    raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
+                optionals.append(sub_p)
+                filters.extend(sub_f)
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if self.peek() == "{":
+                arms = []
+                sub_p, sub_f, sub_o, sub_u = self.group()
+                if sub_o or sub_u:
+                    raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
+                arms.append(sub_p)
+                filters.extend(sub_f)
+                while self.peek() is not None and self.peek().lower() == "union":
+                    self.next()
+                    sub_p, sub_f, sub_o, sub_u = self.group()
+                    if sub_o or sub_u:
+                        raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
+                    arms.append(sub_p)
+                    filters.extend(sub_f)
+                if len(arms) < 2:
+                    raise ValueError("SPARQL parse: bare group braces need UNION")
+                unions.append(arms)
+                if self.peek() == ".":
+                    self.next()
+                continue
             if self.peek().lower() == "filter":
                 self.next()
                 self.expect("(")
@@ -235,7 +275,7 @@ class _Parser:
             if self.peek() == ".":
                 self.next()
         self.expect("}")
-        return patterns, filters
+        return patterns, filters, optionals, unions
 
     def parse(self) -> Query:
         form = self.next().lower()
@@ -246,8 +286,9 @@ class _Parser:
             while self.peek() and self.peek().startswith("?"):
                 projection.append(self.next()[1:])
             self.expect("where")
-            patterns, filters = self.group()
-            return Query("select", projection, [], patterns, filters)
+            patterns, filters, optionals, unions = self.group()
+            return Query("select", projection, [], patterns, filters,
+                         optionals=optionals, unions=unions)
         if form == "construct":
             self.expect("{")
             template = []
@@ -259,8 +300,9 @@ class _Parser:
             self.expect("}")
             if self.peek() and self.peek().lower() == "where":
                 self.next()
-            patterns, filters = self.group()
-            return Query("construct", [], template, patterns, filters)
+            patterns, filters, optionals, unions = self.group()
+            return Query("construct", [], template, patterns, filters,
+                         optionals=optionals, unions=unions)
         if form in ("insert", "delete"):
             return self._parse_update(form)
         raise ValueError(f"SPARQL parse: unsupported query form {form!r}")
@@ -299,7 +341,9 @@ class _Parser:
         if form == "delete" and nxt is not None and nxt.lower() == "where":
             # DELETE WHERE { P } — the pattern doubles as the template
             self.next()
-            patterns, filters = self.group()
+            patterns, filters, _opt, _uni = self.group()
+            if _opt or _uni:
+                raise ValueError("SPARQL parse: OPTIONAL/UNION not allowed in DELETE WHERE")
             delete_template = []
             for pat in patterns:
                 if isinstance(pat.path, Term):
@@ -321,9 +365,10 @@ class _Parser:
         else:
             insert_template = self.template_block()
         self.expect("where")
-        patterns, filters = self.group()
+        patterns, filters, optionals, unions = self.group()
         return Query("update", [], [], patterns, filters,
-                     delete_template, insert_template)
+                     delete_template, insert_template,
+                     optionals=optionals, unions=unions)
 
 
 def parse(text: str) -> Query:
@@ -397,7 +442,7 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
         query = parse(query)
     if query.form == "update":
         raise ValueError("SPARQL evaluate: use update() for update statements")
-    if not query.patterns:
+    if not query.patterns and not query.unions:
         raise ValueError("SPARQL evaluate: empty graph pattern")
     bound = _solve(triples, query)
     if query.form == "select":
@@ -405,16 +450,43 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
     return _instantiate(bound, query.template)
 
 
-def _solve(triples: DataFrame, query: Query) -> DataFrame:
-    """Join the BGP's pattern bindings into one solution frame."""
+def _join_patterns(triples: DataFrame, patterns: list) -> DataFrame | None:
     bound: DataFrame | None = None
-    for pat in query.patterns:
+    for pat in patterns:
         b = _bindings(triples, pat)
         if bound is None:
             bound = b
         else:
             shared = sorted(set(bound.columns) & set(b.columns))
             bound = bound.join(b, on=shared) if shared else bound.crossJoin(b)
+    return bound
+
+
+def _merge(bound: DataFrame | None, other: DataFrame, how: str = "inner") -> DataFrame:
+    if bound is None:
+        return other
+    shared = sorted(set(bound.columns) & set(other.columns))
+    if not shared:
+        return bound.crossJoin(other) if how == "inner" else bound
+    return bound.join(other, on=shared, how=how)
+
+
+def _solve(triples: DataFrame, query: Query) -> DataFrame:
+    """Join the BGP's pattern bindings into one solution frame.
+
+    Group algebra: each UNION block's arms are solved independently and
+    unioned (vars missing from an arm become nulls — SPARQL's unbound),
+    then joined in; each OPTIONAL group left-joins on its shared vars.
+    """
+    bound = _join_patterns(triples, query.patterns)
+    for arms in query.unions or []:
+        arm_frames = [_join_patterns(triples, arm) for arm in arms]
+        u = arm_frames[0]
+        for f in arm_frames[1:]:
+            u = u.unionByName(f, allowMissingColumns=True)
+        bound = _merge(bound, u)
+    for opt in query.optionals or []:
+        bound = _merge(bound, _join_patterns(triples, opt), how="left")
     assert bound is not None
     for var in query.iri_filters:
         if var in bound.columns:

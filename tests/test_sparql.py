@@ -249,3 +249,54 @@ def test_path_alternation_inverse_plus(spark):
             "SELECT ?s ?o WHERE { ?s ^ex:q/^ex:p ?o . }")
     got = {(r["s"], r["o"]) for r in sparql.evaluate(t, qseq).collect()}
     assert got == {(EX + "c", EX + "a")}
+
+
+def test_optional_left_join(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "c", EX + "p", EX + "d"),
+            (EX + "b", EX + "label", "B!"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?o ?lab WHERE { ?s ex:p ?o . "
+         "OPTIONAL { ?o ex:label ?lab . } }")
+    got = {(r["s"], r["o"], r["lab"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {
+        (EX + "a", EX + "b", "B!"),
+        (EX + "c", EX + "d", None),  # unbound optional -> null
+    }
+
+
+def test_union_blocks(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "c", EX + "q", EX + "d"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?o WHERE { { ?s ex:p ?o . } UNION { ?s ex:q ?o . } }")
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "c", EX + "d")}
+
+
+def test_union_joined_with_main_pattern(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "type", EX + "T"),
+            (EX + "c", EX + "type", EX + "T"),
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "c", EX + "q", EX + "d"),
+            (EX + "z", EX + "q", EX + "w"),  # not typed T -> excluded
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?o WHERE { ?s ex:type ex:T . "
+         "{ ?s ex:p ?o . } UNION { ?s ex:q ?o . } }")
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "c", EX + "d")}
