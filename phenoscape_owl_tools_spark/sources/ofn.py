@@ -413,3 +413,95 @@ def negation_hierarchy_axioms(axioms: DataFrame) -> tuple[DataFrame, DataFrame]:
     eq_ax = negation.negation_equivalence_axioms(negates, comps)
     return sub_ax, eq_ax
 
+
+
+# ---------------------------------------------------------------------------
+# Writer: axiom frame -> functional-syntax document (round-trips the reader)
+# ---------------------------------------------------------------------------
+
+_CTOR_RE = re.compile(r"^([A-Za-z]\w*)\((.*)\)$")
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split canonical-expression args on top-level spaces."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == " " and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _render_expr(s: str) -> str:
+    """Canonical expression string -> functional syntax (IRIs in <>)."""
+    m = _CTOR_RE.match(s)
+    if m:
+        args = " ".join(_render_expr(a) for a in _split_args(m.group(2)))
+        return f"{m.group(1)}({args})"
+    return f"<{s}>"
+
+
+def _render_value(s: str) -> str:
+    """Annotation value: absolute IRI -> <iri>, else a quoted literal
+    (same heuristic as catalog.to_ntriples; language tags are not
+    round-tripped — the reader drops them from canonical values)."""
+    if _ABS_IRI_RE.match(s) and " " not in s and '"' not in s:
+        return f"<{s}>"
+    esc = s.replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{esc}"'
+
+
+def render_document(rows, ontology_iri: str = "http://example.org/ontology") -> str:
+    """Render axiom rows (kind, s, p, o) back to an OFN document.
+
+    The inverse of :func:`parse_document` for every supported axiom kind —
+    `parse_document(render_document(parse_document(text)))` is row-stable.
+    Rows are sorted for deterministic output.
+    """
+    lines = [f"Ontology(<{ontology_iri}>"]
+    for row in sorted(tuple(r[1:]) if len(r) == 5 else tuple(r) for r in rows):
+        kind, s, p, o = row
+        if kind == "declaration":
+            lines.append(f"Declaration({o}(<{s}>))")
+        elif kind == "subclass_of":
+            lines.append(f"SubClassOf({_render_expr(s)} {_render_expr(o)})")
+        elif kind == "equivalent_classes":
+            lines.append(f"EquivalentClasses({_render_expr(s)} {_render_expr(o)})")
+        elif kind == "disjoint_classes":
+            lines.append(f"DisjointClasses({_render_expr(s)} {_render_expr(o)})")
+        elif kind == "sub_object_property":
+            lines.append(f"SubObjectPropertyOf(<{s}> <{o}>)")
+        elif kind == "property_chain":
+            chain = " ".join(f"<{x}>" for x in s.split(" "))
+            lines.append(f"SubObjectPropertyOf(ObjectPropertyChain({chain}) <{o}>)")
+        elif kind == "annotation":
+            lines.append(f"AnnotationAssertion(<{p}> <{s}> {_render_value(o)})")
+        elif kind == "class_assertion":
+            lines.append(f"ClassAssertion({_render_expr(o)} <{s}>)")
+        elif kind == "object_property_assertion":
+            lines.append(f"ObjectPropertyAssertion(<{p}> <{s}> <{o}>)")
+        else:
+            raise OfnParseError(f"cannot render axiom kind {kind!r}")
+    lines.append(")")
+    return "\n".join(lines) + "\n"
+
+
+def write_ofn(axioms: DataFrame, path: str,
+              ontology_iri: str = "http://example.org/ontology") -> None:
+    """Write an axiom frame as one OFN file (driver-side collect — an
+    ontology/TBox is dimension-scale by the engine's data model; fact-scale
+    triple exports go through the N-Triples text sink in ``catalog`` instead).
+    """
+    rows = [(r["kind"], r["s"], r["p"], r["o"]) for r in
+            axioms.select("kind", "s", "p", "o").collect()]
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(render_document(rows, ontology_iri))

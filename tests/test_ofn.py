@@ -126,3 +126,31 @@ def test_read_ofn_extractors(spark, tmp_path):
     anns = ofn.annotations(
         ax, prop="http://www.w3.org/2000/01/rdf-schema#label").collect()
     assert len(anns) == 1
+
+
+def test_render_round_trip():
+    rows = ofn.parse_document(OWN_DOC, src="own")
+    text2 = ofn.render_document(rows)
+    rows2 = ofn.parse_document(text2, src="own", strict=True)
+    assert sorted(r[1:] for r in rows) == sorted(r[1:] for r in rows2)
+
+
+def test_render_round_trip_reference_fixture():
+    if not os.path.exists(REF_OFN):
+        import pytest as _pytest
+        _pytest.skip("reference fixture not available")
+    rows = ofn.parse_document(open(REF_OFN).read(), src="ref")
+    rows2 = ofn.parse_document(ofn.render_document(rows), src="ref")
+    assert sorted(r[1:] for r in rows) == sorted(r[1:] for r in rows2)
+
+
+def test_write_ofn(spark, tmp_path):
+    p_in = tmp_path / "in.ofn"
+    p_in.write_text(OWN_DOC)
+    ax = ofn.read_ofn(spark, str(p_in))
+    p_out = tmp_path / "out.ofn"
+    ofn.write_ofn(ax, str(p_out))
+    ax2 = ofn.read_ofn(spark, str(p_out))
+    a = {tuple(r)[1:] for r in ax.collect()}
+    b = {tuple(r)[1:] for r in ax2.collect()}
+    assert a == b
