@@ -226,3 +226,55 @@ def test_chain_saturation_derives_reflexive_entailments_with_self_loops(spark):
     got = {(r["p"], r["s"], r["o"]) for r in sat.collect()}
     assert ("aux", "x", "x") in got       # derived reflexive intermediate
     assert (prop, "x", "x") in got        # self-homology entailed
+
+
+def test_dred_deletion_matches_full_recompute(spark):
+    """Diamond: a->b->d and a->c->d; deleting a->b must keep a->d alive
+    (alternative derivation) while dropping a->b and facts only via it."""
+    edges = [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("d", "e"), ("b", "x")]
+    asserted = spark.createDataFrame(edges, ["sub", "sup"])
+    full_before = closure.transitive_closure(asserted)
+    deleted = spark.createDataFrame([("a", "b")], ["sub", "sup"])
+    got = closure.incremental_closure_delete(full_before, asserted, deleted)
+    expect = closure.transitive_closure(
+        spark.createDataFrame(edges[1:], ["sub", "sup"])
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in expect.collect()}
+    assert a == b
+    assert ("a", "d") in a      # rederived through c
+    assert ("a", "x") not in a  # only derivable via the deleted edge
+    assert ("a", "b") not in a
+
+
+def test_dred_deletion_with_restrictions(spark):
+    edges = [("a", "b"), ("b", "c")]
+    restrictions = spark.createDataFrame(
+        [("r_a", "p", "a"), ("r_b", "p", "b"), ("r_c", "p", "c")],
+        ["iri", "prop", "filler"],
+    )
+    asserted = spark.createDataFrame(edges, ["sub", "sup"])
+    before = closure.transitive_closure(asserted, restrictions=restrictions)
+    deleted = spark.createDataFrame([("b", "c")], ["sub", "sup"])
+    got = closure.incremental_closure_delete(
+        before, asserted, deleted, restrictions=restrictions
+    )
+    expect = closure.transitive_closure(
+        spark.createDataFrame([("a", "b")], ["sub", "sup"]),
+        restrictions=restrictions,
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
+    # monotonicity entailments via the deleted edge are gone
+    assert ("r_b", "r_c") not in {(r["sub"], r["sup"]) for r in got.collect()}
+
+
+def test_dred_delete_then_insert_roundtrip(spark):
+    """delete e then re-insert e returns exactly the original closure."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    asserted = spark.createDataFrame(edges, ["sub", "sup"])
+    before = closure.transitive_closure(asserted)
+    e = spark.createDataFrame([("b", "c")], ["sub", "sup"])
+    after_del = closure.incremental_closure_delete(before, asserted, e)
+    after_ins = closure.incremental_closure_update(after_del, e)
+    assert ({tuple(r) for r in after_ins.collect()}
+            == {tuple(r) for r in before.collect()})
