@@ -123,6 +123,12 @@ class IterationBarrier:
         self._under_width(df, lambda: df.write.mode("overwrite").parquet(path))
         out = df.sparkSession.read.parquet(path)
         self._paths.append(path)
+        if self.adaptive_width and self._width is not None:
+            # fixpoint working sets GROW (closure >> seed); refresh the
+            # width from each compaction's materialized size (parquet
+            # metadata count — cheap) so a closure that outgrows its seed
+            # regains parallelism instead of staying at the seed's width
+            self.set_width(out.count(), df.sparkSession)
         return out
 
     def gc(self, keep: int = 2) -> None:
@@ -137,4 +143,4 @@ class IterationBarrier:
             shutil.rmtree(self._paths.pop(0), ignore_errors=True)
 
 
-TARGET_ROWS_PER_PARTITION = 100_000
+TARGET_ROWS_PER_PARTITION = 50_000
