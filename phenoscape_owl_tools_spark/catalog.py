@@ -141,3 +141,39 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
             F.lit("."),
         ).alias("value")
     )
+
+
+def list_snapshots(out_path: str | Path) -> list[str]:
+    """Versions under a snapshot directory (the ``v=<k>`` dirs written by
+    ``streaming.run_incremental_closure``), oldest-first by batch id.
+
+    The parquet-dir analog of an Iceberg table's snapshot log: each version
+    is a complete, immutable closure state; ``_LATEST`` points at the
+    current one.
+    """
+    root = Path(out_path)
+    if not root.exists():
+        return []
+
+    def order(p: Path):
+        v = p.name.split("=", 1)[1]
+        return (0, int(v)) if v.isdigit() else (1, 0)
+
+    return [str(p) for p in sorted(root.glob("v=*"), key=order)]
+
+
+def read_snapshot(
+    spark: SparkSession, out_path: str | Path, version: int | None = None
+) -> DataFrame:
+    """Time-travel read of a snapshot directory: the ``_LATEST`` pointer by
+    default, or an explicit ``v=<version>``."""
+    root = Path(out_path)
+    if version is not None:
+        target = root / f"v={version}"
+        if not target.exists():
+            raise FileNotFoundError(f"no snapshot v={version} under {out_path}")
+        return spark.read.parquet(str(target))
+    latest = root / "_LATEST"
+    if not latest.exists():
+        raise FileNotFoundError(f"no _LATEST pointer under {out_path}")
+    return spark.read.parquet(latest.read_text().strip())

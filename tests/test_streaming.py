@@ -198,3 +198,27 @@ def test_incremental_closure_stream_matches_batch(spark, tmp_path):
     )
     assert got == {tuple(r) for r in full.collect()}
     assert ("a", "d") in got  # closed across the two batches
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Each micro-batch leaves an immutable snapshot; older versions stay
+    readable after later batches land (time travel)."""
+    from phenoscape_owl_tools_spark import catalog
+
+    b1 = [("a", "b")]
+    b2 = [("b", "c")]
+    in_dir = tmp_path / "tt_in"
+    spark.createDataFrame(b1, ["sub", "sup"]).coalesce(1).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(b2, ["sub", "sup"]).coalesce(1).write.mode("append").parquet(str(in_dir))
+    out = tmp_path / "tt_out"
+    ingest.run_incremental_closure(
+        spark, str(in_dir), str(out), str(tmp_path / "tt_ckpt"),
+        max_files_per_trigger=1,
+    )
+    versions = catalog.list_snapshots(out)
+    assert len(versions) == 2
+    latest = {tuple(r) for r in catalog.read_snapshot(spark, out).collect()}
+    first_v = int(versions[0].rsplit("=", 1)[1])
+    v0 = {tuple(r) for r in catalog.read_snapshot(spark, out, version=first_v).collect()}
+    assert latest == {("a", "b"), ("b", "c"), ("a", "c")}
+    assert v0 == {("a", "b")}  # the pre-batch-2 state is still readable
