@@ -95,16 +95,37 @@ def _set_col(states_col):
     return F.sort_array(F.array_distinct(states_col))
 
 
+# Above this row count the (node, character, states) dimension table stops
+# being driver-collectable and the level-loop strategy takes over. The
+# reference runs the whole Fitch pass in one JVM (EvolutionaryProfiles
+# .scala is in-memory Scala) — a taxonomy is dimension-scale even at
+# 10^12-document corpora; only the ASSOCIATION aggregation is fact-scale.
+DRIVER_FITCH_MAX_ROWS = 2_000_000
+
+
 def evolutionary_profiles(
     taxonomy_edges: DataFrame,
     state_associations: DataFrame,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (associations, profiles): (taxon, character, states array<string>).
 
     ``associations`` mirrors postorder's first tuple member (reconstructed
     state sets at every internal node); ``profiles`` the second (union events
     recorded when child state-sets fail to intersect, :146-155).
+
+    Strategy: the asserted-state aggregation is always distributed
+    (fact-scale). The bottom-up Fitch fold itself runs over the
+    DIMENSION-scale (node, character) table; when that table fits the
+    driver (``DRIVER_FITCH_MAX_ROWS``) the fold is one in-memory pass —
+    the same architecture as the reference's single-JVM
+    ``EvolutionaryProfiles`` — and O(depth) Spark jobs disappear. Larger
+    inputs (or ``strategy="distributed"``) use the barrier-checkpointed
+    level loop. Both paths produce identical rows (asserted by
+    tests/test_profiles.py).
     """
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = taxonomy_edges.sparkSession
     # Per-level lineage truncation via IterationBarrier, NOT bare
     # localCheckpoint chains: at taxonomy depth > ~13 a checkpoint-derived
@@ -121,6 +142,11 @@ def evolutionary_profiles(
         .agg(_set_col(F.collect_set("state")).alias("states")),
         "asserted",
     )
+    if strategy != "distributed":
+        n_asserted = asserted.count()
+        n_edges = taxonomy_edges.count()
+        if strategy == "driver" or max(n_asserted, n_edges) <= DRIVER_FITCH_MAX_ROWS:
+            return _fitch_driver(spark, taxonomy_edges, asserted)
     depths = barrier(taxonomy_depths(taxonomy_edges), "depths")
     max_depth = depths.agg(F.max("depth")).collect()[0][0]
     edges = barrier(taxonomy_edges.select("child", "parent").dropDuplicates(), "edges")
@@ -326,3 +352,103 @@ def profile_sizes(profile_triples_df: DataFrame) -> DataFrame:
         .groupBy(F.col("subj").alias("profile"))
         .agg(F.count("*").alias("n_annotations"))
     )
+
+
+def _fitch_driver(spark, taxonomy_edges: DataFrame, asserted: DataFrame):
+    """One-pass in-memory Fitch fold (driver strategy).
+
+    Exact mirror of the level-loop semantics: distinct child state-sets,
+    the node's own asserted set always contributes (empty contributes the
+    empty-set element), an empty-set marker when any child lacks the
+    character, shared = intersection of non-empty sets, union event when
+    sets fail to intersect.
+    """
+    from collections import defaultdict
+
+    edge_rows = [
+        (r["child"], r["parent"])
+        for r in taxonomy_edges.select("child", "parent").dropDuplicates().collect()
+    ]
+    children: dict[str, list[str]] = defaultdict(list)
+    has_parent = set()
+    for c, p in edge_rows:
+        children[p].append(c)
+        has_parent.add(c)
+    roots = [n for n in children if n not in has_parent]
+    depth: dict[str, int] = {}
+    stack = [(r, 0) for r in roots]
+    while stack:
+        n, d = stack.pop()
+        if n in depth:
+            raise RuntimeError("taxonomy_edges is not a tree (shared child?)")
+        depth[n] = d
+        for c in children.get(n, ()):
+            stack.append((c, d + 1))
+    max_depth = max(depth.values(), default=0)
+    levels: list[list[str]] = [[] for _ in range(max_depth + 1)]
+    for n, d in depth.items():
+        levels[d].append(n)
+
+    own: dict[str, dict[str, tuple]] = defaultdict(dict)
+    for r in asserted.collect():
+        own[r["node"]][r["character"]] = tuple(r["states"])
+
+    computed: dict[str, dict[str, tuple]] = {}
+    assoc_rows: list[tuple] = []
+    prof_rows: list[tuple] = []
+    for d in range(max_depth, -1, -1):
+        for node in levels[d]:
+            kids = children.get(node, [])
+            # leaves fall through the general fold: no children -> all_sets
+            # is just the own set, current = own, no profile event — exactly
+            # the level loop's deepest-level assignment
+            chars: set[str] = set(own.get(node, ()))
+            n_children = len(set(kids))
+            child_computed = [computed.get(c, {}) for c in kids]
+            for cc in child_computed:
+                chars.update(cc)
+            out_chars = {}
+            for ch in chars:
+                child_sets = []
+                n_with = 0
+                for cc in child_computed:
+                    if ch in cc:
+                        n_with += 1
+                        if cc[ch] not in child_sets:
+                            child_sets.append(cc[ch])
+                has_empty_child = n_with < n_children
+                own_states = tuple(sorted(set(own.get(node, {}).get(ch, ()))))
+                all_sets = list(child_sets)
+                if own_states not in all_sets:
+                    all_sets.append(own_states)
+                if has_empty_child and () not in all_sets:
+                    all_sets.append(())
+                non_empty = [s for s in all_sets if s]
+                if non_empty:
+                    shared = set(non_empty[0])
+                    for s in non_empty[1:]:
+                        shared &= set(s)
+                else:
+                    shared = set()
+                union_all: set = set()
+                for s in all_sets:
+                    union_all |= set(s)
+                if shared:
+                    current = shared
+                elif len(all_sets) == 1:
+                    current = set(all_sets[0])
+                else:
+                    current = union_all
+                if not shared and len(all_sets) >= 2 and union_all:
+                    prof_rows.append((node, ch, sorted(union_all)))
+                if current:
+                    cur = tuple(sorted(current))
+                    out_chars[ch] = cur
+                    assoc_rows.append((node, ch, list(cur)))
+            if out_chars:
+                computed[node] = out_chars
+
+    schema = "node string, character string, states array<string>"
+    assoc_df = spark.createDataFrame(sorted(assoc_rows), schema)
+    prof_df = spark.createDataFrame(sorted(prof_rows), schema)
+    return assoc_df, prof_df

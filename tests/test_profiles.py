@@ -129,3 +129,22 @@ def test_evolutionary_profiles_deep_taxonomy(spark):
     got_prof = {(r["node"], r["character"]): set(r["states"]) for r in prof.collect()}
     exp_prof_flat = {(n, c): set(s) for n, per in exp_prof.items() for c, s in per.items() if s}
     assert got_prof == exp_prof_flat
+
+
+def test_fitch_strategies_agree(spark, corpus):
+    """Driver fold and distributed level loop produce identical rows on the
+    fixture taxonomy (and the bench tree shape: own-asserted internals,
+    multi-child intersections, union events)."""
+    c, paths = corpus
+    taxonomy = spark.read.parquet(paths["taxonomy_edges"])
+    assoc = spark.read.parquet(paths["state_associations"])
+    a_assoc, a_prof = profiles.evolutionary_profiles(taxonomy, assoc, strategy="driver")
+    b_assoc, b_prof = profiles.evolutionary_profiles(
+        taxonomy, assoc, strategy="distributed"
+    )
+
+    def rows(df):
+        return {(r["node"], r["character"], tuple(r["states"])) for r in df.collect()}
+
+    assert rows(a_assoc) == rows(b_assoc)
+    assert rows(a_prof) == rows(b_prof)
