@@ -108,7 +108,7 @@ def cmd_output_profile_sizes(args: list[str]) -> None:
     src, out = args
     spark = _spark("profile-sizes")
     sizes = P.profile_sizes(_read(spark, src))
-    report.write_tsv_report(sizes.orderBy("individual"), out)
+    report.write_tsv_report(sizes.orderBy("profile"), out)
     print(f"output-profile-sizes: {sizes.count()} rows -> {out}")
     spark.stop()
 
