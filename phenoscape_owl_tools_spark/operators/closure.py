@@ -536,22 +536,40 @@ def incremental_closure_delete(
     remainder = barrier(old.join(over, on=["sub", "sup"], how="left_anti"), "rem")
 
     # ---- phase 3: rederive ----
+    # Only overdeleted facts can come back, so restrict every composition
+    # to the overdeleted facts' endpoints: for a target (a, c) ∈ over,
+    # look for (a, b) and (b, c) in R — cost ∝ |over| × fanout, never the
+    # all-pairs R∘R (that would be the direct_hierarchy two-hop blowup and
+    # strictly worse than the from-scratch refixpoint this path avoids).
     R = remainder
+    targets = barrier(over.join(remainder, on=["sub", "sup"], how="left_anti"),
+                      "targets")
     for _ in range(max_iterations):
-        candidates = (
-            base_new.unionByName(compose(R, R))
+        if targets.isEmpty():
+            return R
+        bridged = (
+            targets.alias("t")
+            .join(R.alias("x"), F.col("t.sub") == F.col("x.sub"))
+            .join(
+                R.alias("y"),
+                (F.col("x.sup") == F.col("y.sub"))
+                & (F.col("y.sup") == F.col("t.sup")),
+            )
+            .select(F.col("t.sub").alias("sub"), F.col("t.sup").alias("sup"))
         )
+        candidates = base_new.join(targets, on=["sub", "sup"], how="leftsemi")             .unionByName(bridged)
         m = mono(R)
         if m is not None:
-            candidates = candidates.unionByName(m)
+            candidates = candidates.unionByName(
+                m.join(targets, on=["sub", "sup"], how="leftsemi")
+            )
         new = barrier(
-            candidates.where(F.col("sub") != F.col("sup"))
-            .dropDuplicates()
-            .join(over, on=["sub", "sup"], how="leftsemi")  # only overdeleted
-            .join(R, on=["sub", "sup"], how="left_anti"),
+            candidates.where(F.col("sub") != F.col("sup")).dropDuplicates(),
             "rederive",
         )
         if new.isEmpty():
             return R
         R = barrier.materialize(R.unionByName(new), "rem")
+        targets = barrier(targets.join(new, on=["sub", "sup"], how="left_anti"),
+                          "targets")
     raise RuntimeError("rederivation did not converge")

@@ -231,10 +231,33 @@ def expand_profile_semantics(
     instead: ``expression_defs(subj, pred, obj)`` — the def triples every
     generator emits when it mints an expression IRI (expr ⊑ structure,
     expr in_taxon T, owl:hasSelf, ...). Semantically identical output: the
-    subset of def triples reachable from the asserted classes.
+    subset of def triples REACHABLE from the asserted classes — a fixpoint,
+    because nested expressions (e.g. ``has_part some (develops_from some
+    E)``) define inner expression nodes that carry their own def rows (the
+    reference recurses through the decoded expression the same way,
+    ParseProfileSemantics.scala:20-23 ``axiomsFor`` over the signature).
 
-    ``class_assertions(individual, cls)``. One leftsemi join — the def
-    table never expands, it is filtered.
+    ``class_assertions(individual, cls)``. Iterated leftsemi joins; depth
+    bounded by expression nesting (OBO post-compositions: ≤ ~5).
     """
-    used = class_assertions.select(F.col("cls").alias("subj")).dropDuplicates()
-    return expression_defs.join(used, on="subj", how="leftsemi")
+    from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
+
+    barrier = IterationBarrier("profsem")
+    defs = barrier(expression_defs.select("subj", "pred", "obj").dropDuplicates(),
+                   "defs")
+    used = barrier(
+        class_assertions.select(F.col("cls").alias("subj")).dropDuplicates(), "used"
+    )
+    kept = barrier(defs.join(used, on="subj", how="leftsemi"), "kept")
+    for _ in range(32):
+        new_used = barrier(
+            kept.select(F.col("obj").alias("subj"))
+            .dropDuplicates()
+            .join(used, on="subj", how="left_anti"),
+            "new_used",
+        )
+        if new_used.isEmpty():
+            return kept
+        used = used.unionByName(new_used)
+        kept = barrier(defs.join(used, on="subj", how="leftsemi"), "kept")
+    raise RuntimeError("expression definition graph too deep (cycle?)")

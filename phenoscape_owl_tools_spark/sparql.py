@@ -223,31 +223,29 @@ class _Parser:
         filters: list[str] = []
         optionals: list[list[Pattern]] = []
         unions: list[list[list[Pattern]]] = []
+        def subgroup(kind: str):
+            sub_p, sub_f, sub_o, sub_u = self.group()
+            if sub_o or sub_u:
+                raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
+            if not sub_p:
+                raise ValueError(f"SPARQL parse: empty {kind} group")
+            # sub-group filters stay WITH the group: applied to its own
+            # solutions before the join, so an OPTIONAL's filter cannot
+            # discard outer rows (SPARQL filter scope)
+            return sub_p, sub_f
+
         while self.peek() is not None and self.peek() != "}":
             if self.peek().lower() == "optional":
                 self.next()
-                sub_p, sub_f, sub_o, sub_u = self.group()
-                if sub_o or sub_u:
-                    raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
-                optionals.append(sub_p)
-                filters.extend(sub_f)
+                optionals.append(subgroup("OPTIONAL"))
                 if self.peek() == ".":
                     self.next()
                 continue
             if self.peek() == "{":
-                arms = []
-                sub_p, sub_f, sub_o, sub_u = self.group()
-                if sub_o or sub_u:
-                    raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
-                arms.append(sub_p)
-                filters.extend(sub_f)
+                arms = [subgroup("UNION")]
                 while self.peek() is not None and self.peek().lower() == "union":
                     self.next()
-                    sub_p, sub_f, sub_o, sub_u = self.group()
-                    if sub_o or sub_u:
-                        raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
-                    arms.append(sub_p)
-                    filters.extend(sub_f)
+                    arms.append(subgroup("UNION"))
                 if len(arms) < 2:
                     raise ValueError("SPARQL parse: bare group braces need UNION")
                 unions.append(arms)
@@ -450,7 +448,8 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
     return _instantiate(bound, query.template)
 
 
-def _join_patterns(triples: DataFrame, patterns: list) -> DataFrame | None:
+def _join_patterns(triples: DataFrame, patterns: list,
+                   filters: list[str] | None = None) -> DataFrame:
     bound: DataFrame | None = None
     for pat in patterns:
         b = _bindings(triples, pat)
@@ -459,6 +458,10 @@ def _join_patterns(triples: DataFrame, patterns: list) -> DataFrame | None:
         else:
             shared = sorted(set(bound.columns) & set(b.columns))
             bound = bound.join(b, on=shared) if shared else bound.crossJoin(b)
+    assert bound is not None  # parser rejects empty groups
+    for var in filters or []:
+        if var in bound.columns:
+            bound = bound.where(F.col(var).rlike(_IS_IRI_RE))
     return bound
 
 
@@ -467,26 +470,37 @@ def _merge(bound: DataFrame | None, other: DataFrame, how: str = "inner") -> Dat
         return other
     shared = sorted(set(bound.columns) & set(other.columns))
     if not shared:
-        return bound.crossJoin(other) if how == "inner" else bound
+        if how == "inner":
+            return bound.crossJoin(other)
+        # OPTIONAL with no shared vars: every mapping is compatible (cross
+        # product); an EMPTY optional must still keep bound's rows with the
+        # group's vars unbound — a constant-true left join gives both
+        return bound.join(other, F.lit(True), "left")
     return bound.join(other, on=shared, how=how)
 
 
 def _solve(triples: DataFrame, query: Query) -> DataFrame:
     """Join the BGP's pattern bindings into one solution frame.
 
-    Group algebra: each UNION block's arms are solved independently and
-    unioned (vars missing from an arm become nulls — SPARQL's unbound),
-    then joined in; each OPTIONAL group left-joins on its shared vars.
+    Group algebra: a UNION block distributes over the join — each arm is
+    solved (with its own filters) and merged with the main solutions
+    independently, then the merged frames union (vars an arm never binds become
+    nulls = SPARQL's unbound). Joining per-arm rather than after the union
+    keeps every join an equi-join on genuinely bound vars — no null keys.
+    OPTIONAL groups left-join on their shared vars.
     """
-    bound = _join_patterns(triples, query.patterns)
+    bound = _join_patterns(triples, query.patterns) if query.patterns else None
     for arms in query.unions or []:
-        arm_frames = [_join_patterns(triples, arm) for arm in arms]
-        u = arm_frames[0]
-        for f in arm_frames[1:]:
+        merged = [
+            _merge(bound, _join_patterns(triples, arm_p, arm_f))
+            for arm_p, arm_f in arms
+        ]
+        u = merged[0]
+        for f in merged[1:]:
             u = u.unionByName(f, allowMissingColumns=True)
-        bound = _merge(bound, u)
-    for opt in query.optionals or []:
-        bound = _merge(bound, _join_patterns(triples, opt), how="left")
+        bound = u
+    for opt_p, opt_f in query.optionals or []:
+        bound = _merge(bound, _join_patterns(triples, opt_p, opt_f), how="left")
     assert bound is not None
     for var in query.iri_filters:
         if var in bound.columns:
@@ -532,7 +546,7 @@ def update(triples: DataFrame, statement: Query | str) -> DataFrame:
         rows = [(s.value, p.value, o.value) for s, p, o in template]
         return spark.createDataFrame(rows, schema="subj string, pred string, obj string")
 
-    if statement.patterns:
+    if statement.patterns or statement.unions or statement.optionals:
         bound = _solve(triples, statement)
         delete_df = (
             _instantiate(bound, statement.delete_template)

@@ -24,8 +24,11 @@ def main() -> None:
 
     from phenoscape_owl_tools_spark.sources import ofn
 
+    # honor spark-submit's master (run_kb_build.py:40-47 detection)
+    from pyspark import SparkConf
+
     builder = SparkSession.builder.appName("negation-hierarchy")
-    if "--master" not in " ".join(sys.argv):
+    if not SparkConf().contains("spark.master"):
         builder = builder.master("local[*]")
     spark = builder.getOrCreate()
 

@@ -37,8 +37,14 @@ from pyspark.sql import SparkSession
 
 
 def _spark(name: str) -> SparkSession:
+    # Under spark-submit, spark.master arrives via the submit conf and must
+    # not be overridden (same detection as run_kb_build.py:40-47 — a
+    # "--master" flag never reaches app args, so checking sys.argv is
+    # useless and would silently force local mode on a cluster).
+    from pyspark import SparkConf
+
     builder = SparkSession.builder.appName(name)
-    if "--master" not in " ".join(sys.argv):
+    if not SparkConf().contains("spark.master"):
         builder = builder.master("local[*]")
     return builder.getOrCreate()
 

@@ -33,8 +33,11 @@ def main() -> None:
 
     from phenoscape_owl_tools_spark import sparql
 
+    # honor spark-submit's master (run_kb_build.py:40-47 detection)
+    from pyspark import SparkConf
+
     builder = SparkSession.builder.appName("run-sparql")
-    if "--master" not in " ".join(sys.argv):  # honor spark-submit master
+    if not SparkConf().contains("spark.master"):
         builder = builder.master("local[*]")
     spark = builder.getOrCreate()
 

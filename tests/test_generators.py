@@ -119,3 +119,25 @@ def test_expand_profile_semantics(spark):
         ("expr:A", "rdfs:subClassOf", "cls:S"),
         ("expr:A", "in_taxon", "t:1"),
     }
+
+
+def test_expand_profile_semantics_nested(spark):
+    """Nested expression defs are pulled in transitively (fixpoint)."""
+    from phenoscape_owl_tools_spark.operators.generators import (
+        expand_profile_semantics,
+    )
+
+    assertions = spark.createDataFrame([("i1", "expr:outer")], ["individual", "cls"])
+    defs = spark.createDataFrame(
+        [
+            ("expr:outer", "has_part", "expr:inner"),
+            ("expr:inner", "develops_from", "cls:E"),
+            ("expr:other", "part_of", "cls:F"),  # unreachable
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {tuple(r) for r in expand_profile_semantics(assertions, defs).collect()}
+    assert got == {
+        ("expr:outer", "has_part", "expr:inner"),
+        ("expr:inner", "develops_from", "cls:E"),
+    }

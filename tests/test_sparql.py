@@ -300,3 +300,58 @@ def test_union_joined_with_main_pattern(spark):
          "{ ?s ex:p ?o . } UNION { ?s ex:q ?o . } }")
     got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
     assert got == {(EX + "a", EX + "b"), (EX + "c", EX + "d")}
+
+
+def test_union_arm_with_unshared_var(spark):
+    """An arm that doesn't bind the main pattern's var still contributes
+    (join distributes over union; no null-key equi-join)."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "type", EX + "T"),
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "k", EX + "q", EX + "w"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?o WHERE { ?s ex:type ex:T . "
+         f"{{ ?s ex:p ?o . }} UNION {{ <{EX}k> ex:q ?o . }} }}")
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    # arm 2 binds only ?o; it joins compatibly with every ?s binding
+    assert got == {(EX + "a", EX + "b"), (EX + "a", EX + "w")}
+
+
+def test_optional_filter_scope(spark):
+    """A FILTER inside OPTIONAL applies to the group's own solutions; outer
+    rows survive with the var unbound."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "b", EX + "label", "literal label"),  # not an IRI
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?lab WHERE { ?s ex:p ?o . "
+         "OPTIONAL { ?o ex:label ?lab . FILTER(isIRI(?lab)) } }")
+    got = {(r["s"], r["lab"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", None)}  # row kept, lab unbound
+
+
+def test_empty_optional_group_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sparql.parse("SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { } }")
+
+
+def test_update_delete_with_union_where(spark):
+    stmt = (
+        f"PREFIX ex: <{EX}>\n"
+        f"PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n"
+        "DELETE { ?s rdfs:subClassOf ?o . }\n"
+        "WHERE { { ?s rdfs:subClassOf ?o . } UNION { ?o rdfs:subClassOf ?s . } }"
+    )
+    out = sparql.update(_g(spark), stmt)
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {(EX + "x", sparql.RDF_TYPE, EX + "a")}
