@@ -230,3 +230,29 @@ def score_triples(medians: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+def shard_queries(
+    query_profiles: DataFrame, shard: int, n_shards: int = 100
+) -> DataFrame:
+    """Deterministic query-profile sharding (RunPairwiseOWLSim.scala:40-46):
+    profiles sorted by IRI and split into ``n_shards`` near-equal groups;
+    shard k processes group k. The reference runs this as a 100-task SLURM
+    array (pipeline/kb-owlsim-taxa.sh:7-17); here each shard is an
+    independent job over the same broadcast closure/IC, so the union of all
+    shards' outputs equals the unsharded result exactly.
+
+    ntile over a sorted window is deterministic for a fixed profile set —
+    the same contract as the reference's sorted ``grouped`` slicing.
+    """
+    if not (0 <= shard < n_shards):
+        raise ValueError(f"shard {shard} out of range [0, {n_shards})")
+    w = Window.orderBy("individual")
+    assigned = (
+        query_profiles.select("individual")
+        .dropDuplicates()
+        .withColumn("shard", F.ntile(n_shards).over(w) - 1)
+        .where(F.col("shard") == shard)
+        .drop("shard")
+    )
+    return query_profiles.join(F.broadcast(assigned), on="individual", how="leftsemi")

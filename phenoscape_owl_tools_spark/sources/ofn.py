@@ -234,7 +234,11 @@ def _pairs(nodes: list[_Node]) -> Iterable[tuple[_Node, _Node]]:
 
 def _axiom_rows(src: str, toks: list, prefixes: dict[str, str]) -> Iterator[tuple]:
     node, _ = _parse_sexpr(toks, 0, prefixes)
-    ctor, args = node.ctor, node.args or []
+    ctor = node.ctor
+    # axiom annotations — SubClassOf(Annotation(p v) C D) etc. — carry
+    # provenance, not logic; drop them from the argument list (the OWLAPI
+    # reads them into axiom metadata the same way)
+    args = [a for a in (node.args or []) if a.ctor != "Annotation"]
     if ctor == "Declaration":
         ent = args[0]
         yield (src, "declaration", ent.args[0].canonical(), None, ent.ctor)

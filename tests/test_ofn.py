@@ -154,3 +154,15 @@ def test_write_ofn(spark, tmp_path):
     a = {tuple(r)[1:] for r in ax.collect()}
     b = {tuple(r)[1:] for r in ax2.collect()}
     assert a == b
+
+
+def test_axiom_annotations_are_tolerated():
+    doc = (
+        "Prefix(:=<http://e.org#>)\n"
+        "Prefix(rdfs:=<http://www.w3.org/2000/01/rdf-schema#>)\n"
+        "Ontology(\n"
+        'SubClassOf(Annotation(rdfs:comment "from curation") :A :B)\n'
+        ")"
+    )
+    rows = ofn.parse_document(doc, strict=True)
+    assert rows == [("", "subclass_of", "http://e.org#A", None, "http://e.org#B")]

@@ -134,3 +134,43 @@ def test_top_subsumers_k(spark):
     top = similarity.top_subsumers(pas, k=2)
     counts = top.groupBy("query", "corpus").count().collect()
     assert all(r["count"] <= 2 for r in counts)
+
+
+def test_query_sharding_partitions_and_reassembles(spark):
+    """shard_queries: shards are disjoint, cover everything, and the union
+    of per-shard pairwise scores equals the unsharded scores exactly
+    (RunPairwiseOWLSim.scala:40-46 semantics)."""
+    profiles = spark.createDataFrame(
+        [(f"q{i}", f"p:{i % 3}") for i in range(10)], ["individual", "phenotype"]
+    )
+    shards = [similarity.shard_queries(profiles, k, n_shards=3) for k in range(3)]
+    parts = [{(r["individual"], r["phenotype"]) for r in s.collect()} for s in shards]
+    allrows = {(r["individual"], r["phenotype"]) for r in profiles.collect()}
+    assert set.union(*parts) == allrows
+    assert sum(len(p) for p in parts) == len(allrows)  # disjoint
+
+    closure = spark.createDataFrame(
+        [(f"p:{i}", "p:root") for i in range(3)], ["sub", "sup"]
+    )
+    corpus = spark.createDataFrame(
+        [("c1", "p:0"), ("c2", "p:1")], ["individual", "phenotype"]
+    )
+    ic = similarity.information_content(
+        similarity.indirect_associations(corpus, closure),
+        corpus.select("individual"),
+        closure,
+    )
+    whole = similarity.groupwise_median(
+        similarity.pairwise_scores(profiles, corpus, closure, ic)
+    )
+    sharded = None
+    for k in range(3):
+        part = similarity.groupwise_median(
+            similarity.pairwise_scores(
+                similarity.shard_queries(profiles, k, 3), corpus, closure, ic
+            )
+        )
+        sharded = part if sharded is None else sharded.unionByName(part)
+    a = {(r["query"], r["corpus"], r["score"]) for r in whole.collect()}
+    b = {(r["query"], r["corpus"], r["score"]) for r in sharded.collect()}
+    assert a == b
