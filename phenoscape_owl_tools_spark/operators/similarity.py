@@ -17,9 +17,14 @@ Re-expression of sim/OWLsim.scala over DataFrames:
 - Jaccard (J10, :289-293) = ancestor-set intersection/union counts.
 
 The reference shards the cartesian product over 100 SLURM JVMs
-(RunPairwiseOWLSim.scala:40-46); here the "cartesian" is a join on the
-shared-ancestor block key — pairs that share no subsumer never materialize,
-and Spark partitioning replaces manual sharding.
+(RunPairwiseOWLSim.scala:40-46); here the "cartesian" is split by subsumer
+frequency: hub subsumers (the root and other classes that subsume nearly
+everything — the keys that would make a shared-ancestor equi-join collapse
+into one partition) are evaluated as bitmask intersections over an evenly
+tiled cross join of compact per-profile mask rows, while rare subsumers go
+through a skew-bounded equi-join. See ``pairwise_scores``. Pairs that share
+no subsumer never materialize, and Spark partitioning replaces manual
+sharding.
 """
 
 from __future__ import annotations
@@ -97,17 +102,10 @@ def information_content(
     return out
 
 
-def pairwise_scores(
-    query_profiles: DataFrame,
-    corpus_profiles: DataFrame,
-    closure: DataFrame,
-    ic: DataFrame,
-) -> DataFrame:
-    """J9/A5 — (query, corpus, score, ...) group-wise similarity.
-
-    Returns per-pair rows with the exact-median score plus per-annotation
-    best subsumers for the top-k emitter.
-    """
+def _annotation_ancestors(
+    query_profiles: DataFrame, corpus_profiles: DataFrame, closure: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(query, qa, anc) and (corpus, anc2) reflexive-ancestor tables."""
     q_anc = (
         query_profiles.join(
             reflexive_ancestors(closure, query_profiles.select(F.col("phenotype").alias("node"))),
@@ -118,6 +116,7 @@ def pairwise_scores(
             F.col("phenotype").alias("qa"),
             F.col("ancestor").alias("anc"),
         )
+        .dropDuplicates()
     )
     c_anc = (
         corpus_profiles.join(
@@ -130,12 +129,134 @@ def pairwise_scores(
         )
         .dropDuplicates()
     )
+    return q_anc, c_anc
+
+
+def hub_ancestors(ic: DataFrame, hub_bits: int) -> list[tuple[str, float]]:
+    """The ``hub_bits`` most corpus-frequent subsumers, returned in bit-position
+    order: descending (ic, iri) so that position 0 is the BEST possible MICA —
+    the first set bit of a mask intersection is then the hub MICA directly.
+
+    Frequency ordering is total (freq desc, iri asc) so the hub set is
+    deterministic across runs — required for resume/golden comparison.
+    """
+    if hub_bits <= 0:
+        return []
+    cols = set(ic.columns)
+    if "freq" in cols:
+        ranked = ic.where(F.col("freq") > 0).orderBy(F.desc("freq"), F.asc("node"))
+    else:  # fallback: ic is monotone-decreasing in frequency
+        ranked = ic.orderBy(F.asc("ic"), F.asc("node"))
+    rows = ranked.select("node", "ic").limit(hub_bits).collect()
+    # bit order = the MICA preference order used by max(struct(ic, anc))
+    rows.sort(key=lambda r: (r["ic"], r["node"]), reverse=True)
+    return [(r["node"], float(r["ic"])) for r in rows]
+
+
+def _hub_masks(
+    anc_df: DataFrame, anc_col: str, group_cols: list[str], hub_pos: DataFrame
+) -> DataFrame:
+    """One row per group with a bitmask of hub-ancestor membership."""
+    return (
+        anc_df.join(F.broadcast(hub_pos), anc_df[anc_col] == hub_pos["hub_anc"])
+        .groupBy(*group_cols)
+        .agg(F.expr("bit_or(shiftleft(1L, hub_pos))").alias("mask"))
+    )
+
+
+def _rare_candidates(
+    q_anc: DataFrame, c_anc: DataFrame, ic: DataFrame, hub_list: list[str]
+) -> DataFrame:
+    """Per-(query, corpus, qa) MICA candidates from NON-hub shared ancestors —
+    a plain equi-join whose hottest key is, by construction, no more frequent
+    than the coldest hub (skew-bounded)."""
     ic_b = F.broadcast(ic.select(F.col("node").alias("ic_node"), "ic"))
-    joined = (
+    if hub_list:
+        q_anc = q_anc.where(~F.col("anc").isin(hub_list))
+        c_anc = c_anc.where(~F.col("anc2").isin(hub_list))
+    return (
         q_anc.join(c_anc, q_anc["anc"] == c_anc["anc2"])
         .join(ic_b, F.col("anc") == F.col("ic_node"))
-        .groupBy("query", "corpus", "qa")
-        .agg(F.max(F.struct(F.col("ic"), F.col("anc"))).alias("best"))
+        .select(
+            "query", "corpus", "qa", F.struct(F.col("ic"), F.col("anc")).alias("cand")
+        )
+    )
+
+
+def pairwise_scores(
+    query_profiles: DataFrame,
+    corpus_profiles: DataFrame,
+    closure: DataFrame,
+    ic: DataFrame,
+    hub_bits: int = 48,
+) -> DataFrame:
+    """J9/A5 — per-(query, corpus, query-annotation) best common subsumer
+    (MICA), the input to the exact-median pair score.
+
+    Skew-safe blocked-MICA plan (reference semantics: sim/OWLsim.scala:272-306
+    at RunPairwiseOWLSim.scala:40-46 scale). A naive shared-ancestor equi-join
+    puts the FULL |query-annotations| x |corpus-profiles| product on the
+    partition of each hub key (the ontology root subsumes everything), so one
+    task absorbs the whole cartesian at scale. Instead:
+
+    - the ``hub_bits`` most corpus-frequent subsumers are handled WITHOUT an
+      ancestor join: each (query, qa) and each corpus profile reduces to one
+      row carrying a hub-membership bitmask (bit order = descending (ic, iri));
+      the hub MICA of a pair is the lowest set bit of ``mask & mask2`` — an
+      O(1) bit-trick per output row over an evenly tiled cross join of two
+      COMPACT mask tables (this product IS the output size, so the cross join
+      is optimal and uniformly distributed, never key-skewed);
+    - all remaining (rare) ancestors go through the equi-join, whose hottest
+      key is now bounded above by the coldest hub's frequency;
+    - both candidate streams union into ONE groupBy (map-side combined), so
+      the plan has no more shuffles than the naive one.
+
+    ``hub_bits=0`` disables the hub path (the naive all-pairs plan, kept for
+    A/B benchmarking). Results are exactly equal for any ``hub_bits`` —
+    tie-breaks use the same max-(ic, anc) struct ordering on both paths.
+    """
+    if not 0 <= hub_bits <= 62:
+        raise ValueError(f"hub_bits must be in [0, 62], got {hub_bits}")
+    q_anc, c_anc = _annotation_ancestors(query_profiles, corpus_profiles, closure)
+    hubs = hub_ancestors(ic, hub_bits)
+    hub_list = [a for a, _ in hubs]
+
+    spark = query_profiles.sparkSession
+    cands = _rare_candidates(q_anc, c_anc, ic, hub_list)
+
+    if hubs:
+        hub_pos = F.broadcast(
+            spark.createDataFrame(
+                [(a, i) for i, (a, _) in enumerate(hubs)], ["hub_anc", "hub_pos"]
+            )
+        )
+        anc_arr = F.array(*[F.lit(a) for a, _ in hubs])
+        ic_arr = F.array(*[F.lit(i) for _, i in hubs])
+        q_masks = _hub_masks(q_anc, "anc", ["query", "qa"], hub_pos)
+        c_masks = _hub_masks(
+            c_anc.select("corpus", F.col("anc2")), "anc2", ["corpus"], hub_pos
+        ).withColumnRenamed("mask", "mask2")
+        hub_cands = (
+            q_masks.crossJoin(c_masks)
+            .withColumn("band", F.expr("mask & mask2"))
+            .where(F.col("band") != 0)
+            # lowest set bit index = trailing zeros = popcount(band ^ (band-1)) - 1
+            .withColumn("pos", F.expr("bit_count(band ^ (band - 1)) - 1"))
+            .select(
+                "query",
+                "corpus",
+                "qa",
+                F.struct(
+                    F.element_at(ic_arr, F.col("pos") + 1).alias("ic"),
+                    F.element_at(anc_arr, F.col("pos") + 1).alias("anc"),
+                ).alias("cand"),
+            )
+        )
+        cands = cands.unionByName(hub_cands)
+
+    return (
+        cands.groupBy("query", "corpus", "qa")
+        .agg(F.max("cand").alias("best"))
         .select(
             "query",
             "corpus",
@@ -144,7 +265,6 @@ def pairwise_scores(
             F.col("best.anc").alias("max_subsumer"),
         )
     )
-    return joined
 
 
 def groupwise_median(pair_annotation_scores: DataFrame) -> DataFrame:
@@ -242,17 +362,45 @@ def shard_queries(
     independent job over the same broadcast closure/IC, so the union of all
     shards' outputs equals the unsharded result exactly.
 
-    ntile over a sorted window is deterministic for a fixed profile set —
-    the same contract as the reference's sorted ``grouped`` slicing.
+    Shard assignment needs the exact global sorted rank of each profile
+    owner. A bare ``Window.orderBy`` computes that in ONE task (a global
+    sort bottleneck); instead the owners are range-partitioned, ranked
+    locally per sorted range, and offset by the per-range counts (a
+    dimension-scale collect) — the distributed textbook global rank. The
+    result is identical for any partition-boundary placement, so sampling
+    nondeterminism in ``repartitionByRange`` cannot change assignments.
     """
     if not (0 <= shard < n_shards):
         raise ValueError(f"shard {shard} out of range [0, {n_shards})")
-    w = Window.orderBy("individual")
+    owners = query_profiles.select("individual").dropDuplicates()
+    n_ranges = max(1, min(64, owners.sparkSession.sparkContext.defaultParallelism))
+    ranged = (
+        owners.repartitionByRange(n_ranges, F.col("individual"))
+        .withColumn("_rid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_rid").orderBy("individual")
+    local = ranged.withColumn("_lr", F.row_number().over(w))
+    counts = {r["_rid"]: r["count"] for r in local.groupBy("_rid").count().collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for rid in sorted(counts):
+        offsets[rid] = acc
+        acc += counts[rid]
+    # ntile bucket math: N rows, n buckets -> first N%n buckets get one extra
+    q, m = divmod(total, n_shards)
+    threshold = m * (q + 1)
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    rank = (F.col("_lr") + offset_map[F.col("_rid")]).alias("rank")  # 1-based
+    shard_col = F.when(
+        rank <= threshold, ((rank - 1) / (q + 1)).cast("int")
+    ).otherwise(
+        (F.lit(m) + ((rank - 1 - threshold) / F.greatest(F.lit(q), F.lit(1)))).cast("int")
+    )
     assigned = (
-        query_profiles.select("individual")
-        .dropDuplicates()
-        .withColumn("shard", F.ntile(n_shards).over(w) - 1)
+        local.withColumn("shard", shard_col)
         .where(F.col("shard") == shard)
-        .drop("shard")
+        .select("individual")
     )
     return query_profiles.join(F.broadcast(assigned), on="individual", how="leftsemi")

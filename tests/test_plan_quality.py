@@ -109,3 +109,18 @@ def test_ivf_topk_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # probes broadcast to the corpus
+
+
+def test_pairwise_similarity_blocked_mica_plan(spark):
+    """J9 skew defense must be visible in the plan: the hub-ancestor bitmask
+    aggregation (bit_or over shifted hub positions) feeding the compact-mask
+    product, and the rare-ancestor equi-join excluding hub keys. The
+    partition-histogram acceptance bar (max <= 4x median) lives in
+    tests/test_similarity.py::test_pairwise_rare_join_skew_bounded."""
+    plan = _plan(spark, "pairwise_similarity")
+    assert "bit_or" in plan, "hub bitmask aggregation missing:\n" + plan[:2000]
+    # Catalyst pushes the isin-negation through the IRI-projection, so the
+    # filter shows up against the source expression, not the anc alias.
+    assert re.search(r"NOT .+ IN \(", plan), (
+        "rare-join hub exclusion missing:\n" + plan[:2000]
+    )
