@@ -132,6 +132,37 @@ def _annotation_ancestors(
     return q_anc, c_anc
 
 
+def global_rank(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+    """Deterministic 1-based global rank over ``order_cols`` (ascending),
+    without a single-task global sort: range-partition, rank locally per
+    sorted range, offset by per-range counts (a dimension-scale collect).
+    The result is identical for any partition-boundary placement, so
+    sampling nondeterminism in ``repartitionByRange`` cannot change ranks.
+
+    Input must be duplicate-free on ``order_cols`` (ranks are then a total
+    order). Dimension-scale driver cost: one count per range (<= 64 rows).
+    """
+    n_ranges = max(1, min(64, df.sparkSession.sparkContext.defaultParallelism))
+    ranged = df.repartitionByRange(
+        n_ranges, *[F.col(c) for c in order_cols]
+    ).withColumn("_rid", F.spark_partition_id())
+    w = Window.partitionBy("_rid").orderBy(*[F.asc(c) for c in order_cols])
+    local = ranged.withColumn("_lr", F.row_number().over(w))
+    counts = {r["_rid"]: r["count"] for r in local.groupBy("_rid").count().collect()}
+    offsets, acc = {}, 0
+    for rid in sorted(counts):
+        offsets[rid] = acc
+        acc += counts[rid]
+    offset_map = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map()
+    )
+    return local.withColumn(
+        out_col, (F.col("_lr") + F.coalesce(offset_map[F.col("_rid")], F.lit(0))).cast("long")
+    ).drop("_rid", "_lr")
+
+
 def hub_ancestors(ic: DataFrame, hub_bits: int) -> list[tuple[str, float]]:
     """The ``hub_bits`` most corpus-frequent subsumers, returned in bit-position
     order: descending (ic, iri) so that position 0 is the BEST possible MICA —
@@ -158,28 +189,58 @@ def _hub_masks(
 ) -> DataFrame:
     """One row per group with a bitmask of hub-ancestor membership."""
     return (
-        anc_df.join(F.broadcast(hub_pos), anc_df[anc_col] == hub_pos["hub_anc"])
+        anc_df.join(F.broadcast(hub_pos), anc_df[anc_col] == hub_pos["hub_rid"])
         .groupBy(*group_cols)
         .agg(F.expr("bit_or(shiftleft(1L, hub_pos))").alias("mask"))
     )
 
 
-def _rare_candidates(
-    q_anc: DataFrame, c_anc: DataFrame, ic: DataFrame, hub_list: list[str]
-) -> DataFrame:
-    """Per-(query, corpus, qa) MICA candidates from NON-hub shared ancestors —
-    a plain equi-join whose hottest key is, by construction, no more frequent
-    than the coldest hub (skew-bounded)."""
-    ic_b = F.broadcast(ic.select(F.col("node").alias("ic_node"), "ic"))
-    if hub_list:
-        q_anc = q_anc.where(~F.col("anc").isin(hub_list))
-        c_anc = c_anc.where(~F.col("anc2").isin(hub_list))
-    return (
-        q_anc.join(c_anc, q_anc["anc"] == c_anc["anc2"])
-        .join(ic_b, F.col("anc") == F.col("ic_node"))
-        .select(
-            "query", "corpus", "qa", F.struct(F.col("ic"), F.col("anc")).alias("cand")
-        )
+def _encoded_inputs(
+    q_anc: DataFrame, c_anc: DataFrame, ic: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Integer-encode the pairwise inputs so every hot-path shuffle carries
+    longs, not IRIs: (qi(qid, pid, rid), ci(cid, rid), ranked, qd, cd, pd).
+
+    ``ranked(node, ic, rid)`` ranks ancestors ascending by (ic, node), so
+    ``max(rid)`` over candidate ancestors IS ``max(struct(ic, anc))`` — the
+    MICA preference order becomes a single-long comparison and the rare path
+    needs no IC join at all (a candidate's value is its own rank). Ancestors
+    absent from ``ic`` are dropped, matching the inner IC join of the
+    un-encoded formulation. The dimension tables (query/corpus individuals,
+    query annotations, ranked ancestors) are broadcast for encode/decode —
+    they are ontology/profile-owner scale, orders of magnitude smaller than
+    the pair product."""
+    ranked = global_rank(ic.select("node", "ic"), ["ic", "node"], "rid").localCheckpoint(
+        eager=True
+    )
+    qd = global_rank(q_anc.select("query").dropDuplicates(), ["query"], "qid")
+    cd = global_rank(c_anc.select("corpus").dropDuplicates(), ["corpus"], "cid")
+    pd_ = global_rank(q_anc.select("qa").dropDuplicates(), ["qa"], "pid")
+    anc_rid = F.broadcast(ranked.select(F.col("node").alias("_an"), "rid"))
+    qi = (
+        q_anc.join(F.broadcast(qd), on="query")
+        .join(F.broadcast(pd_), on="qa")
+        .join(anc_rid, q_anc["anc"] == F.col("_an"))
+        .select("qid", "pid", "rid")
+    )
+    ci = (
+        c_anc.join(F.broadcast(cd), on="corpus")
+        .join(anc_rid, c_anc["anc2"] == F.col("_an"))
+        .select("cid", F.col("rid").alias("rid2"))
+    )
+    return qi, ci, ranked, qd, cd, pd_
+
+
+def _rare_candidates(qi: DataFrame, ci: DataFrame, hub_rids: list[int]) -> DataFrame:
+    """Per-(qid, cid, pid) MICA candidates from NON-hub shared ancestors —
+    a plain long-keyed equi-join whose hottest key is, by construction, no
+    more frequent than the coldest hub (skew-bounded). The candidate value
+    is the shared ancestor's rank itself."""
+    if hub_rids:
+        qi = qi.where(~F.col("rid").isin(hub_rids))
+        ci = ci.where(~F.col("rid2").isin(hub_rids))
+    return qi.join(ci, qi["rid"] == ci["rid2"]).select(
+        "qid", "cid", "pid", F.col("rid").alias("cand")
     )
 
 
@@ -199,43 +260,60 @@ def pairwise_scores(
     partition of each hub key (the ontology root subsumes everything), so one
     task absorbs the whole cartesian at scale. Instead:
 
+    - the whole hot path runs INTEGER-ENCODED (``_encoded_inputs``):
+      ancestors are globally ranked ascending by (ic, iri), so the MICA
+      preference ``max(struct(ic, anc))`` becomes ``max(rank)`` — one long
+      per candidate instead of IRI strings plus a struct, and the rare path
+      needs no IC join (a candidate's value is its own rank). Individuals
+      and annotations are likewise rank-encoded; IRIs are restored by
+      broadcast dimension joins after the aggregate (map-side, no shuffle);
     - the ``hub_bits`` most corpus-frequent subsumers are handled WITHOUT an
       ancestor join: each (query, qa) and each corpus profile reduces to one
-      row carrying a hub-membership bitmask (bit order = descending (ic, iri));
+      row carrying a hub-membership bitmask (bit order = descending rank);
       the hub MICA of a pair is the lowest set bit of ``mask & mask2`` — an
-      O(1) bit-trick per output row over an evenly tiled cross join of two
-      COMPACT mask tables (this product IS the output size, so the cross join
-      is optimal and uniformly distributed, never key-skewed);
-    - all remaining (rare) ancestors go through the equi-join, whose hottest
-      key is now bounded above by the coldest hub's frequency;
+      O(1) bit-trick per output row over an explicitly tiled cross join of
+      two COMPACT mask tables (this product IS the output size, so the cross
+      join is optimal and uniformly distributed, never key-skewed);
+    - all remaining (rare) ancestors go through the long-keyed equi-join,
+      whose hottest key is now bounded above by the coldest hub's frequency;
     - both candidate streams union into ONE groupBy (map-side combined), so
       the plan has no more shuffles than the naive one.
 
     ``hub_bits=0`` disables the hub path (the naive all-pairs plan, kept for
     A/B benchmarking). Results are exactly equal for any ``hub_bits`` —
-    tie-breaks use the same max-(ic, anc) struct ordering on both paths.
+    rank order IS the max-(ic, anc) struct order on both paths.
     """
     if not 0 <= hub_bits <= 62:
         raise ValueError(f"hub_bits must be in [0, 62], got {hub_bits}")
     q_anc, c_anc = _annotation_ancestors(query_profiles, corpus_profiles, closure)
+    qi, ci, ranked, qd, cd, pd_ = _encoded_inputs(q_anc, c_anc, ic)
     hubs = hub_ancestors(ic, hub_bits)
-    hub_list = [a for a, _ in hubs]
+    hub_rids = _hub_rids(ranked, hubs)
 
     spark = query_profiles.sparkSession
-    cands = _rare_candidates(q_anc, c_anc, ic, hub_list)
+    cands = _rare_candidates(qi, ci, hub_rids)
 
-    if hubs:
+    if hub_rids:
+        # bit order = descending rank, so position 0 is the BEST possible MICA
+        # and the lowest set bit of a mask intersection is the hub MICA rank.
+        by_pref = sorted(hub_rids, reverse=True)
         hub_pos = F.broadcast(
             spark.createDataFrame(
-                [(a, i) for i, (a, _) in enumerate(hubs)], ["hub_anc", "hub_pos"]
+                [(r, i) for i, r in enumerate(by_pref)], ["hub_rid", "hub_pos"]
             )
         )
-        anc_arr = F.array(*[F.lit(a) for a, _ in hubs])
-        ic_arr = F.array(*[F.lit(i) for _, i in hubs])
-        q_masks = _hub_masks(q_anc, "anc", ["query", "qa"], hub_pos)
+        rid_arr = F.array(*[F.lit(r) for r in by_pref])
+        q_masks = _hub_masks(qi, "rid", ["qid", "pid"], hub_pos)
         c_masks = _hub_masks(
-            c_anc.select("corpus", F.col("anc2")), "anc2", ["corpus"], hub_pos
+            ci.select("cid", F.col("rid2")), "rid2", ["cid"], hub_pos
         ).withColumnRenamed("mask", "mask2")
+        # Explicitly tile the compact mask tables: AQE coalesces each small
+        # aggregate output to ~1 partition, which would make the cross join a
+        # single tile — one task generating (and partially aggregating) the
+        # whole product. Tiles = parallelism on the query side.
+        par = spark.sparkContext.defaultParallelism
+        q_masks = q_masks.repartition(par)
+        c_masks = c_masks.repartition(max(1, par // 8))
         hub_cands = (
             q_masks.crossJoin(c_masks)
             .withColumn("band", F.expr("mask & mask2"))
@@ -243,28 +321,41 @@ def pairwise_scores(
             # lowest set bit index = trailing zeros = popcount(band ^ (band-1)) - 1
             .withColumn("pos", F.expr("bit_count(band ^ (band - 1)) - 1"))
             .select(
-                "query",
-                "corpus",
-                "qa",
-                F.struct(
-                    F.element_at(ic_arr, F.col("pos") + 1).alias("ic"),
-                    F.element_at(anc_arr, F.col("pos") + 1).alias("anc"),
-                ).alias("cand"),
+                "qid",
+                "cid",
+                "pid",
+                F.element_at(rid_arr, F.col("pos") + 1).alias("cand"),
             )
         )
         cands = cands.unionByName(hub_cands)
 
+    best = cands.groupBy("qid", "cid", "pid").agg(F.max("cand").alias("best_rid"))
     return (
-        cands.groupBy("query", "corpus", "qa")
-        .agg(F.max("cand").alias("best"))
+        best.join(F.broadcast(qd), on="qid")
+        .join(F.broadcast(cd), on="cid")
+        .join(F.broadcast(pd_), on="pid")
+        .join(
+            F.broadcast(ranked), best["best_rid"] == ranked["rid"]
+        )
         .select(
             "query",
             "corpus",
             "qa",
-            F.col("best.ic").alias("max_subsumer_ic"),
-            F.col("best.anc").alias("max_subsumer"),
+            F.col("ic").alias("max_subsumer_ic"),
+            F.col("node").alias("max_subsumer"),
         )
     )
+
+
+def _hub_rids(ranked: DataFrame, hubs: list[tuple[str, float]]) -> list[int]:
+    """Ranks of the hub ancestors (driver-side lookup, <= 62 rows)."""
+    if not hubs:
+        return []
+    names = [a for a, _ in hubs]
+    return [
+        int(r["rid"])
+        for r in ranked.where(F.col("node").isin(names)).select("rid").collect()
+    ]
 
 
 def groupwise_median(pair_annotation_scores: DataFrame) -> DataFrame:
@@ -373,33 +464,19 @@ def shard_queries(
     if not (0 <= shard < n_shards):
         raise ValueError(f"shard {shard} out of range [0, {n_shards})")
     owners = query_profiles.select("individual").dropDuplicates()
-    n_ranges = max(1, min(64, owners.sparkSession.sparkContext.defaultParallelism))
-    ranged = (
-        owners.repartitionByRange(n_ranges, F.col("individual"))
-        .withColumn("_rid", F.spark_partition_id())
-    )
-    w = Window.partitionBy("_rid").orderBy("individual")
-    local = ranged.withColumn("_lr", F.row_number().over(w))
-    counts = {r["_rid"]: r["count"] for r in local.groupBy("_rid").count().collect()}
-    total = sum(counts.values())
-    offsets, acc = {}, 0
-    for rid in sorted(counts):
-        offsets[rid] = acc
-        acc += counts[rid]
+    ranked = global_rank(owners, ["individual"], "rank")
+    total = ranked.count()
     # ntile bucket math: N rows, n buckets -> first N%n buckets get one extra
     q, m = divmod(total, n_shards)
     threshold = m * (q + 1)
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
-    rank = (F.col("_lr") + offset_map[F.col("_rid")]).alias("rank")  # 1-based
+    rank = F.col("rank")  # 1-based
     shard_col = F.when(
         rank <= threshold, ((rank - 1) / (q + 1)).cast("int")
     ).otherwise(
         (F.lit(m) + ((rank - 1 - threshold) / F.greatest(F.lit(q), F.lit(1)))).cast("int")
     )
     assigned = (
-        local.withColumn("shard", shard_col)
+        ranked.withColumn("shard", shard_col)
         .where(F.col("shard") == shard)
         .select("individual")
     )

@@ -1,0 +1,138 @@
+"""Scale stress for J9 blocked-MICA pairwise similarity (BENCH §8).
+
+Acceptance bar (VERDICT r2 item 1): >=10^4 query x 10^4 corpus profiles over
+a deep closure, end-to-end pairwise_scores, with NO straggler task — max
+candidate-stream partition <= 4x median. The synthetic ontology reproduces
+the hub pathology exactly: every annotation sits under the root and one of 8
+hub classes, so a naive shared-ancestor equi-join puts the full
+|query-annotations| x |corpus-profiles| product on the root's partition.
+
+Shapes (deterministic, no RNG):
+  ontology   root -> 8 hubs -> 50 mids each -> depth-20 chains (8,409 classes,
+             leaf ancestor sets of size 23 — "deep closure")
+  profiles   N_Q gene profiles x QA annotations, N_C taxon profiles x 1-4
+             annotations, leaves assigned by multiplicative hashing
+
+Usage: PYTHONPATH=/root/repo python scripts/stress_pairwise.py [n_q n_c qa hub_bits]
+Prints one JSON line with wall times and the partition histograms.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from phenoscape_owl_tools_spark.operators import closure as closure_op
+from phenoscape_owl_tools_spark.operators import similarity
+from phenoscape_owl_tools_spark.session import get_spark
+
+N_HUBS = 8
+MIDS_PER_HUB = 50
+CHAIN = 20  # specialization chain below each mid; leaf = last link
+N_LEAVES = N_HUBS * MIDS_PER_HUB  # one chain (hence one leaf) per mid
+
+
+def build_edges(spark):
+    rows = [(f"hub{h}", "root") for h in range(N_HUBS)]
+    for h in range(N_HUBS):
+        for m in range(MIDS_PER_HUB):
+            mid = f"mid_{h}_{m}"
+            rows.append((mid, f"hub{h}"))
+            prev = mid
+            for k in range(CHAIN):
+                node = f"c_{h}_{m}_{k}" if k < CHAIN - 1 else f"leaf_{h * MIDS_PER_HUB + m}"
+                rows.append((node, prev))
+                prev = node
+    return spark.createDataFrame(rows, ["sub", "sup"])
+
+
+def build_profiles(spark, prefix: str, n: int, qa: int):
+    """n profiles x qa annotations over the leaves, multiplicative-hash
+    assignment (deterministic, uniform, generated distributed)."""
+    return (
+        spark.range(n)
+        .select(
+            F.concat(F.lit(prefix), F.format_string("%06d", F.col("id"))).alias(
+                "individual"
+            ),
+            F.explode(F.sequence(F.lit(0), F.lit(qa - 1))).alias("j"),
+            F.col("id"),
+        )
+        .select(
+            "individual",
+            F.concat(
+                F.lit("leaf_"),
+                ((F.col("id") * 2654435761 + F.col("j") * 40503) % N_LEAVES).cast(
+                    "string"
+                ),
+            ).alias("phenotype"),
+        )
+        .dropDuplicates()
+    )
+
+
+def partition_histogram(df) -> dict:
+    counts = sorted(
+        r["count"]
+        for r in df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    med = counts[len(counts) // 2] if counts else 0
+    return {
+        "n_partitions": len(counts),
+        "median": med,
+        "max": counts[-1] if counts else 0,
+        "max_over_median": (counts[-1] / med) if med else None,
+    }
+
+
+def main() -> None:
+    n_q = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    n_c = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    qa = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    hub_bits = int(sys.argv[4]) if len(sys.argv) > 4 else 48
+
+    spark = get_spark(app_name="stress-pairwise")
+    spark.sparkContext.setLogLevel("WARN")
+
+    edges = build_edges(spark)
+    cl = closure_op.transitive_closure(edges)
+    q = build_profiles(spark, "GENE_", n_q, qa).localCheckpoint(eager=True)
+    c = build_profiles(spark, "TAXON_", n_c, qa).localCheckpoint(eager=True)
+
+    ind = similarity.indirect_associations(q.unionByName(c), cl)
+    ic = similarity.information_content(
+        ind, c.select("individual").dropDuplicates(), cl
+    ).localCheckpoint(eager=True)
+
+    t0 = time.monotonic()
+    n_pair_rows = similarity.pairwise_scores(q, c, cl, ic, hub_bits=hub_bits).count()
+    wall = time.monotonic() - t0
+
+    # candidate-stream histogram: the rare equi-join (the skew risk)
+    q_anc, c_anc = similarity._annotation_ancestors(q, c, cl)
+    qi, ci, ranked, *_ = similarity._encoded_inputs(q_anc, c_anc, ic)
+    hubs = similarity.hub_ancestors(ic, hub_bits)
+    rare_hist = partition_histogram(
+        similarity._rare_candidates(qi, ci, similarity._hub_rids(ranked, hubs))
+    )
+
+    out = {
+        "n_q": n_q,
+        "n_c": n_c,
+        "qa": qa,
+        "hub_bits": hub_bits,
+        "closure_rows": cl.count(),
+        "pairwise_rows": n_pair_rows,
+        "wall_sec": round(wall, 1),
+        "pair_rows_per_sec": round(n_pair_rows / wall),
+        "rare_join_hist": rare_hist,
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

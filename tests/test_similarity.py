@@ -238,9 +238,12 @@ def test_pairwise_rare_join_skew_bounded(spark):
         ind, c.select("individual").distinct(), cl
     ).localCheckpoint(eager=True)
     q_anc, c_anc = similarity._annotation_ancestors(q, c, cl)
+    qi, ci, ranked, *_ = similarity._encoded_inputs(q_anc, c_anc, ic_df)
+    qi = qi.localCheckpoint(eager=True)
+    ci = ci.localCheckpoint(eager=True)
 
-    def histogram(hub_list):
-        cands = similarity._rare_candidates(q_anc, c_anc, ic_df, hub_list)
+    def histogram(hub_rids):
+        cands = similarity._rare_candidates(qi, ci, hub_rids)
         counts = [
             r["count"]
             for r in cands.groupBy(F.spark_partition_id().alias("pid"))
@@ -250,10 +253,11 @@ def test_pairwise_rare_join_skew_bounded(spark):
         counts.sort()
         return counts
 
-    hubs = [a for a, _ in similarity.hub_ancestors(ic_df, 8)]
-    assert "root" in hubs and "hub1" in hubs  # the pathological keys ARE hubs
+    hubs = similarity.hub_ancestors(ic_df, 8)
+    names = [a for a, _ in hubs]
+    assert "root" in names and "hub1" in names  # the pathological keys ARE hubs
 
-    blocked = histogram(hubs)
+    blocked = histogram(similarity._hub_rids(ranked, hubs))
     naive = histogram([])
     med_b = blocked[len(blocked) // 2]
     assert blocked[-1] <= 4 * max(med_b, 1), (
