@@ -20,6 +20,12 @@ Commands (parquet in / parquet or text out; see each function):
     homology-table-to-owl MODEL  homology parquet/TSV -> triples parquet
                                  (MODEL: rea|ava|rolification|ancestral|
                                   simple|annotations)
+    convert-ontology             ontology file(s) -> normalized axiom frame
+                                 (in: .ofn/.ttl/.nt or a directory of them;
+                                  out: parquet dir, or .ofn/.ttl to
+                                  re-serialize) — the engine's analog of the
+                                 reference's OWLAPI multi-format load
+                                 (KnowledgeBaseBuilder.scala:56-68)
 
 The reference's Blazegraph-specific ``load-triples`` (DataLoader) maps to
 the engine's bucketed-table store (catalog.write_table) — the documented
@@ -186,6 +192,37 @@ def cmd_homology_table_to_owl(args: list[str]) -> None:
     spark.stop()
 
 
+def cmd_convert_ontology(args: list[str]) -> None:
+    """convert-ontology <in:.ofn|.ttl|.nt|dir> <out:parquet-dir|.ofn|.ttl>
+
+    Any supported serialization in, normalized axiom frame
+    (src, kind, s, p, o) out; `.ofn`/`.ttl` outputs re-serialize (TBox-scale
+    driver write), anything else writes parquet (distributed)."""
+    from phenoscape_owl_tools_spark.sources import ofn, ttl
+
+    src, out = args
+    spark = _spark("convert-ontology")
+    p = Path(src)
+    exts = {q.suffix for q in p.glob("*")} if p.is_dir() else {p.suffix}
+    if exts & {".nt", ".ntriples"}:
+        axioms = ttl.axioms_from_triples(ttl.read_ntriples(spark, src), src=src)
+    elif exts & {".ttl", ".turtle"}:
+        axioms = ttl.read_turtle(spark, src)
+    else:
+        axioms = ofn.read_ofn(spark, src)
+    if out.endswith(".ofn"):
+        ofn.write_ofn(axioms, out)
+        n = "document"
+    elif out.endswith(".ttl"):
+        ttl.write_turtle(axioms, out)
+        n = "document"
+    else:
+        axioms.write.mode("overwrite").parquet(out)
+        n = f"{spark.read.parquet(out).count()} axiom rows"
+    print(f"convert-ontology: {src} -> {n} at {out}")
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         print(__doc__)
@@ -217,6 +254,7 @@ def main() -> None:
         "convert-nexml": cmd_convert_nexml,
         "output-evolutionary-profiles": cmd_output_evolutionary_profiles,
         "homology-table-to-owl": cmd_homology_table_to_owl,
+        "convert-ontology": cmd_convert_ontology,
     }
     fn = dispatch.get(command)
     if fn is None:
