@@ -235,12 +235,22 @@ def _rare_candidates(qi: DataFrame, ci: DataFrame, hub_rids: list[int]) -> DataF
     """Per-(qid, cid, pid) MICA candidates from NON-hub shared ancestors —
     a plain long-keyed equi-join whose hottest key is, by construction, no
     more frequent than the coldest hub (skew-bounded). The candidate value
-    is the shared ancestor's rank itself."""
+    is the shared ancestor's rank itself.
+
+    Both sides are explicitly co-partitioned on the join key at session
+    parallelism: the join FANS OUT (tens of output rows per input row) and
+    AQE sizes partitions from map-output bytes, so left to itself it
+    coalesces the small long-encoded inputs into one task that then emits
+    the entire candidate product serially. REPARTITION_BY_NUM shuffles are
+    exempt from AQE coalescing, keeping the fan-out spread at full width."""
     if hub_rids:
         qi = qi.where(~F.col("rid").isin(hub_rids))
         ci = ci.where(~F.col("rid2").isin(hub_rids))
-    return qi.join(ci, qi["rid"] == ci["rid2"]).select(
-        "qid", "cid", "pid", F.col("rid").alias("cand")
+    par = qi.sparkSession.sparkContext.defaultParallelism
+    return (
+        qi.repartition(par, "rid")
+        .join(ci.repartition(par, "rid2"), F.col("rid") == F.col("rid2"))
+        .select("qid", "cid", "pid", F.col("rid").alias("cand"))
     )
 
 
