@@ -8,15 +8,24 @@ this module covers the language subset its shipped queries actually use
 - ``PREFIX`` declarations, ``SELECT ?v ...`` and ``CONSTRUCT { ... }`` forms,
 - basic graph patterns: IRIs (``<...>`` or prefixed names), variables,
   ``a`` for rdf:type,
-- property paths: sequence ``p/q``, star ``p*``, plus ``p+``, inverse
-  ``^p`` (per segment), alternation ``p1|p2``. DEVIATION from SPARQL 1.1
-  precedence: grouping parens are unsupported, alternation binds tighter
-  than ``/``, and a trailing ``*``/``+`` applies to the WHOLE alternation
-  segment — ``p|q+`` here means ``(p|q)+``, where the spec reads
-  ``p | (q+)``. Queries needing spec grouping must be rewritten as
-  separate patterns/unions,
-- ``FILTER(isIRI(?v))``, ``OPTIONAL { ... }``, ``{ ... } UNION { ... }``
-  (one level — no nesting inside OPTIONAL/UNION groups),
+- property paths with SPARQL 1.1 grammar and precedence: grouping parens
+  ``(p/q)*``, sequence ``p/q``, alternation ``p1|p2`` (binding LOOSER than
+  ``/``, per spec — ``p|q+`` is ``p | (q+)``), star ``p*``, plus ``p+``,
+  zero-or-one ``p?`` (sequence position only — a leading/bare ``p?`` has
+  no bounded domain for its zero-length arm and raises), inverse ``^p``
+  (applies to the following path element, including its modifier),
+- ``FILTER`` with ``isIRI(?v)``, ``regex(?v, "pat"[, "flags"])``,
+  comparisons ``?v OP term`` (``= != < <= > >=``; term = var, IRI, number,
+  or string — numeric RHS compares numerically), ``!`` negation, and
+  ``&&`` conjunction (``||`` is not supported — split into UNION arms),
+- ``OPTIONAL { ... }``, ``{ ... } UNION { ... }`` (one level — no nesting
+  inside OPTIONAL/UNION groups). Group algebra LIMITATIONS: at most ONE
+  UNION block per group (a second would equi-join on columns an earlier
+  arm may leave null, silently dropping solutions — rejected at parse
+  time), and OPTIONAL groups are evaluated AFTER the basic patterns and
+  the UNION block regardless of textual order (left-associative SPARQL
+  group ordering is not reproduced; for the supported single-UNION,
+  OPTIONAL-anywhere shape the results coincide),
 - ``FROM <graph>`` (ignored — the input DataFrame IS the graph),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
   ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
@@ -53,8 +62,11 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _IRI_RE = r"<[^<>\s]*>"
 _PNAME_RE = r"[A-Za-z][\w.-]*:[\w.-]*"
 _VAR_RE = r"\?[A-Za-z_]\w*"
+_STR_RE = r'"(?:[^"\\]|\\.)*"'
+_NUM_RE = r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
 _TOKEN_RE = re.compile(
-    rf"({_IRI_RE}|{_VAR_RE}|{_PNAME_RE}|[{{}}()./*|^+]|[A-Za-z_]\w*)"
+    rf"({_IRI_RE}|{_VAR_RE}|{_STR_RE}|{_NUM_RE}|!=|<=|>=|&&|\|\||"
+    rf"{_PNAME_RE}|[{{}}()./*|^+<>=!?,]|[A-Za-z_]\w*)"
 )
 # matches an absolute IRI (scheme://... or urn:-style); used for isIRI()
 _IS_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
@@ -67,23 +79,64 @@ class Term:
 
 
 @dataclass(frozen=True)
-class PathElem:
-    iri: str                      # first (or only) alternative
-    star: bool                    # p* — closure; zero-hop only mid-sequence
-    alts: tuple[str, ...] = ()    # p1|p2|... (includes iri); () = just iri
-    inverse: bool = False         # ^p — swap subject/object
-    plus: bool = False            # p+ — closure, never a zero-hop
+class PathNode:
+    """SPARQL 1.1 property-path AST with spec precedence:
+    ``alt`` > ``seq`` > ``inv``/modifier > ``primary`` (iri or parens)."""
 
-    @property
-    def iris(self) -> tuple[str, ...]:
-        return self.alts or (self.iri,)
+    op: str  # 'iri' | 'seq' | 'alt' | 'inv' | 'star' | 'plus' | 'opt'
+    iri: str = ""
+    kids: tuple["PathNode", ...] = ()
 
 
 @dataclass(frozen=True)
 class Pattern:
     subj: Term
-    path: tuple[PathElem, ...] | Term  # Term only for a variable predicate
+    path: PathNode | Term  # Term only for a variable predicate
     obj: Term
+
+
+@dataclass(frozen=True)
+class Filter:
+    """One FILTER condition, compiled to a Column over the solution frame.
+
+    kinds: ``isiri`` (var matches absolute-IRI regex), ``regex``
+    (rhs = pattern, flags = regex flags, 'i' supported), ``cmp``
+    (var OP rhs; rhs_kind 'num' compares numerically via a double cast,
+    'var' compares against another binding, else string comparison)."""
+
+    kind: str  # 'isiri' | 'regex' | 'cmp'
+    var: str
+    neg: bool = False
+    op: str = ""          # cmp: '=' '!=' '<' '<=' '>' '>='
+    rhs: str = ""         # cmp: value/var name; regex: pattern
+    rhs_kind: str = ""    # cmp: 'var' | 'num' | 'str' | 'iri'
+    flags: str = ""       # regex flags
+
+    @property
+    def vars(self) -> tuple[str, ...]:
+        if self.kind == "cmp" and self.rhs_kind == "var":
+            return (self.var, self.rhs)
+        return (self.var,)
+
+    def column(self):
+        c = F.col(self.var)
+        if self.kind == "isiri":
+            cond = c.rlike(_IS_IRI_RE)
+        elif self.kind == "regex":
+            pat = ("(?i)" + self.rhs) if "i" in self.flags else self.rhs
+            cond = c.rlike(pat)
+        else:
+            if self.rhs_kind == "var":
+                lhs, rhs = c, F.col(self.rhs)
+            elif self.rhs_kind == "num":
+                lhs, rhs = c.cast("double"), F.lit(float(self.rhs))
+            else:
+                lhs, rhs = c, F.lit(self.rhs)
+            cond = {
+                "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+                "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+            }[self.op]
+        return ~cond if self.neg else cond
 
 
 @dataclass
@@ -92,7 +145,7 @@ class Query:
     projection: list[str]  # select vars, in order
     template: list[tuple[Term, Term, Term]]  # construct template triples
     patterns: list[Pattern]
-    iri_filters: list[str]  # var names under FILTER(isIRI(?v))
+    filters: list[Filter]
     # update-only (SPARQL 1.1 Update, RunSPARQLUpdate.scala:1-29):
     delete_template: list[tuple[Term, Term, Term]] | None = None
     insert_template: list[tuple[Term, Term, Term]] | None = None
@@ -101,19 +154,34 @@ class Query:
     optionals: list[list[Pattern]] | None = None
     unions: list[list[list[Pattern]]] | None = None
 
+    @property
+    def iri_filters(self) -> list[str]:
+        """Vars under a positive FILTER(isIRI(?v)) — compat convenience."""
+        return [f.var for f in self.filters if f.kind == "isiri" and not f.neg]
+
 
 def _strip_comments(text: str) -> str:
     out_lines = []
     for ln in text.splitlines():
-        in_iri = False
-        for i, ch in enumerate(ln):
-            if ch == "<":
+        in_iri = in_str = False
+        i = 0
+        while i < len(ln):
+            ch = ln[i]
+            if in_str:
+                if ch == "\\":
+                    i += 1  # skip escaped char
+                elif ch == '"':
+                    in_str = False
+            elif ch == '"':
+                in_str = True
+            elif ch == "<":
                 in_iri = True
             elif ch == ">":
                 in_iri = False
             elif ch == "#" and not in_iri:
                 ln = ln[:i]
                 break
+            i += 1
         out_lines.append(ln)
     return "\n".join(out_lines)
 
@@ -164,55 +232,62 @@ class _Parser:
             return Term("iri", RDF_TYPE)
         return Term("iri", self.resolve(tok))
 
-    def _path_elem(self, first: Term | None = None) -> PathElem:
-        """One segment: [^]iri(|[^]iri)*[*+]. Alternation binds tighter
-        than sequence here (``a|b/c`` = ``(a|b)/c``; SPARQL's grouping
-        parens are not supported — deviation documented in the module
-        docstring)."""
-        inverse = False
-        if first is None:
-            if self.peek() == "^":
-                self.next()
-                inverse = True
-            first = self.term()
-        if first.kind != "iri":
-            raise ValueError("SPARQL parse: variables not allowed inside paths")
-        alts = [first.value]
+    def path(self) -> PathNode | Term:
+        """SPARQL 1.1 Path grammar, spec precedence:
+        Path := Seq ('|' Seq)* ; Seq := EltOrInv ('/' EltOrInv)* ;
+        EltOrInv := '^' Elt | Elt ; Elt := Primary ('*'|'+'|'?')? ;
+        Primary := iri | 'a' | '(' Path ')'."""
+        nxt = self.peek()
+        if nxt is not None and nxt.startswith("?"):
+            var = self.term()
+            if self.peek() in ("/", "*", "+", "|", "?", "^"):
+                raise ValueError("SPARQL parse: variables not allowed inside paths")
+            return var  # variable predicate
+        return self._path_alt()
+
+    def _path_alt(self) -> PathNode:
+        kids = [self._path_seq()]
         while self.peek() == "|":
             self.next()
-            if self.peek() == "^":
-                raise ValueError("SPARQL parse: ^ applies to a whole segment, "
-                                 "not one alternative")
-            nxt = self.term()
-            if nxt.kind != "iri":
-                raise ValueError("SPARQL parse: variables not allowed inside paths")
-            alts.append(nxt.value)
-        star = plus = False
-        if self.peek() == "*":
-            self.next()
-            star = True
-        elif self.peek() == "+":
-            self.next()
-            plus = True
-        return PathElem(alts[0], star, tuple(alts), inverse, plus)
+            kids.append(self._path_seq())
+        return kids[0] if len(kids) == 1 else PathNode("alt", kids=tuple(kids))
 
-    def path(self) -> tuple[PathElem, ...] | Term:
-        inverse_first = False
-        if self.peek() == "^":
-            self.next()
-            inverse_first = True
-        first = self.term()
-        if (not inverse_first and first.kind == "var"
-                and self.peek() not in ("/", "*", "+", "|")):
-            return first  # variable predicate
-        elems = [self._path_elem(first)]
-        if inverse_first:
-            elems[0] = PathElem(elems[0].iri, elems[0].star, elems[0].alts,
-                                True, elems[0].plus)
+    def _path_seq(self) -> PathNode:
+        kids = [self._path_elt_or_inv()]
         while self.peek() == "/":
             self.next()
-            elems.append(self._path_elem())
-        return tuple(elems)
+            kids.append(self._path_elt_or_inv())
+        return kids[0] if len(kids) == 1 else PathNode("seq", kids=tuple(kids))
+
+    def _path_elt_or_inv(self) -> PathNode:
+        if self.peek() == "^":
+            self.next()
+            return PathNode("inv", kids=(self._path_elt(),))
+        return self._path_elt()
+
+    def _path_elt(self) -> PathNode:
+        node = self._path_primary()
+        if self.peek() == "*":
+            self.next()
+            return PathNode("star", kids=(node,))
+        if self.peek() == "+":
+            self.next()
+            return PathNode("plus", kids=(node,))
+        if self.peek() == "?":
+            self.next()
+            return PathNode("opt", kids=(node,))
+        return node
+
+    def _path_primary(self) -> PathNode:
+        if self.peek() == "(":
+            self.next()
+            node = self._path_alt()
+            self.expect(")")
+            return node
+        t = self.term()
+        if t.kind != "iri":
+            raise ValueError("SPARQL parse: variables not allowed inside paths")
+        return PathNode("iri", iri=t.value)
 
     def group(self) -> tuple[list[Pattern], list[str], list, list]:
         """Parse { ... } into (patterns, isIRI-filter vars, optionals,
@@ -248,23 +323,20 @@ class _Parser:
                     arms.append(subgroup("UNION"))
                 if len(arms) < 2:
                     raise ValueError("SPARQL parse: bare group braces need UNION")
+                if unions:
+                    raise ValueError(
+                        "SPARQL parse: multiple UNION blocks in one group are "
+                        "unsupported (a second block would join on columns an "
+                        "earlier arm may leave null) — combine the arms into "
+                        "one UNION or split the query"
+                    )
                 unions.append(arms)
                 if self.peek() == ".":
                     self.next()
                 continue
             if self.peek().lower() == "filter":
                 self.next()
-                self.expect("(")
-                fn = self.next()
-                if fn.lower() != "isiri":
-                    raise ValueError(f"SPARQL parse: unsupported FILTER {fn!r}")
-                self.expect("(")
-                var = self.next()
-                if not var.startswith("?"):
-                    raise ValueError("SPARQL parse: FILTER(isIRI(..)) needs a var")
-                filters.append(var[1:])
-                self.expect(")")
-                self.expect(")")
+                filters.extend(self._filter_constraint())
             else:
                 subj = self.term()
                 path = self.path()
@@ -274,6 +346,83 @@ class _Parser:
                 self.next()
         self.expect("}")
         return patterns, filters, optionals, unions
+
+    def _filter_constraint(self) -> list[Filter]:
+        """After the FILTER keyword: ``(expr [&& expr]*)`` or a bare
+        function call ``regex(..)`` / ``isIRI(..)``. Each ``&&`` conjunct
+        becomes its own Filter (conjunction = the filter list). ``||`` is
+        rejected with guidance."""
+        if self.peek() == "(":
+            self.next()
+            out = [self._filter_expr()]
+            while self.peek() == "&&":
+                self.next()
+                out.append(self._filter_expr())
+            if self.peek() == "||":
+                raise ValueError(
+                    "SPARQL parse: FILTER(.. || ..) unsupported — "
+                    "rewrite as { .. } UNION { .. } arms"
+                )
+            self.expect(")")
+            return out
+        return [self._filter_expr()]
+
+    def _filter_var(self) -> str:
+        tok = self.next()
+        if not tok.startswith("?"):
+            raise ValueError(f"SPARQL parse: FILTER expected a ?var, got {tok!r}")
+        return tok[1:]
+
+    def _filter_expr(self) -> Filter:
+        neg = False
+        while self.peek() == "!":
+            self.next()
+            neg = not neg
+        tok = self.peek()
+        if tok is not None and tok.lower() == "isiri":
+            self.next()
+            self.expect("(")
+            var = self._filter_var()
+            self.expect(")")
+            return Filter("isiri", var, neg=neg)
+        if tok is not None and tok.lower() == "regex":
+            self.next()
+            self.expect("(")
+            var = self._filter_var()
+            self.expect(",")
+            pat = self.next()
+            if not pat.startswith('"'):
+                raise ValueError("SPARQL parse: regex pattern must be a string")
+            flags = ""
+            if self.peek() == ",":
+                self.next()
+                ftok = self.next()
+                if not ftok.startswith('"'):
+                    raise ValueError("SPARQL parse: regex flags must be a string")
+                flags = ftok[1:-1]
+            self.expect(")")
+            return Filter("regex", var, neg=neg, rhs=pat[1:-1], flags=flags)
+        if self.peek() == "(":  # parenthesized sub-expression
+            self.next()
+            inner = self._filter_expr()
+            self.expect(")")
+            import dataclasses
+
+            return dataclasses.replace(inner, neg=inner.neg != neg)
+        var = self._filter_var()
+        op = self.next()
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"SPARQL parse: unsupported FILTER operator {op!r}")
+        rhs = self.next()
+        if rhs.startswith("?"):
+            kind, val = "var", rhs[1:]
+        elif rhs.startswith('"'):
+            kind, val = "str", rhs[1:-1]
+        elif re.fullmatch(_NUM_RE, rhs):
+            kind, val = "num", rhs
+        else:
+            kind, val = "iri", self.resolve(rhs)
+        return Filter("cmp", var, neg=neg, op=op, rhs=val, rhs_kind=kind)
 
     def parse(self) -> Query:
         form = self.next().lower()
@@ -346,10 +495,8 @@ class _Parser:
             for pat in patterns:
                 if isinstance(pat.path, Term):
                     pred = pat.path
-                elif (len(pat.path) == 1 and not pat.path[0].star
-                      and not pat.path[0].plus and not pat.path[0].inverse
-                      and len(pat.path[0].iris) == 1):
-                    pred = Term("iri", pat.path[0].iri)
+                elif pat.path.op == "iri":
+                    pred = Term("iri", pat.path.iri)
                 else:
                     raise ValueError(
                         "SPARQL parse: property paths not allowed in DELETE WHERE")
@@ -373,26 +520,69 @@ def parse(text: str) -> Query:
     return _Parser(text).parse()
 
 
-def _path_relation(triples: DataFrame, path: tuple[PathElem, ...]) -> DataFrame:
-    """Evaluate a property path to a binary relation (s, o)."""
+def _alt_leaf_iris(node: PathNode) -> list[str] | None:
+    """If ``node`` is an iri or an alternation of plain iris (possibly
+    nested), the flat iri list — the single-``isin``-scan fast path."""
+    if node.op == "iri":
+        return [node.iri]
+    if node.op == "alt":
+        out: list[str] = []
+        for k in node.kids:
+            leaf = _alt_leaf_iris(k)
+            if leaf is None:
+                return None
+            out.extend(leaf)
+        return out
+    return None
+
+
+def _path_relation(triples: DataFrame, node: PathNode) -> DataFrame:
+    """Evaluate a property-path AST to a binary relation (s, o).
+
+    Closure semantics follow the engine's KB-build convention (module
+    docstring): ``star``/``plus`` evaluate to the transitive closure of the
+    sub-path's relation WITHOUT reflexive pairs; a star or ``?`` in
+    SEQUENCE position contributes its zero-length arm as ``R ∪ R∘TC(q)``.
+    A leading/bare ``p?`` has no bounded domain for the zero-length arm and
+    raises."""
     from phenoscape_owl_tools_spark.operators.closure import transitive_closure
 
-    rel: DataFrame | None = None
-    for elem in path:
-        edges = triples.where(F.col("pred").isin(*elem.iris)).select(
+    leaves = _alt_leaf_iris(node)
+    if leaves is not None:
+        return triples.where(F.col("pred").isin(*leaves)).select(
             F.col("subj").alias("s"), F.col("obj").alias("o")
         )
-        if elem.inverse:
-            edges = edges.select(F.col("o").alias("s"), F.col("s").alias("o"))
-        if elem.star or elem.plus:
-            step = transitive_closure(
-                edges.withColumnRenamed("s", "sub").withColumnRenamed("o", "sup")
-            ).select(F.col("sub").alias("s"), F.col("sup").alias("o"))
-        else:
-            step = edges
+    if node.op == "alt":
+        rel = _path_relation(triples, node.kids[0])
+        for k in node.kids[1:]:
+            rel = rel.unionByName(_path_relation(triples, k))
+        return rel.dropDuplicates()
+    if node.op == "inv":
+        sub = _path_relation(triples, node.kids[0])
+        return sub.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if node.op in ("star", "plus"):
+        sub = _path_relation(triples, node.kids[0])
+        return transitive_closure(
+            sub.withColumnRenamed("s", "sub").withColumnRenamed("o", "sup")
+        ).select(F.col("sub").alias("s"), F.col("sup").alias("o"))
+    if node.op == "opt":
+        raise ValueError(
+            "SPARQL evaluate: zero-or-one path 'p?' needs a sequence context "
+            "for its zero-length arm (bare/leading 'p?' has no bounded domain)"
+        )
+    assert node.op == "seq", node.op
+    rel: DataFrame | None = None
+    for kid in node.kids:
+        zero_ok = kid.op in ("star", "opt")
+        step = _path_relation(triples, kid.kids[0] if kid.op == "opt" else kid)
         if rel is None:
-            # leading elem; for a bare star this is the closure WITHOUT
-            # trivial reflexive pairs (KB-build convention, module docstring)
+            if kid.op == "opt":
+                raise ValueError(
+                    "SPARQL evaluate: leading 'p?' in a sequence is unsupported "
+                    "(zero-length arm has no bounded domain)"
+                )
+            # leading elem; for a star this is the closure WITHOUT trivial
+            # reflexive pairs (KB-build convention, module docstring)
             rel = step
         else:
             nxt = step.select(F.col("s").alias("m"), F.col("o").alias("o2"))
@@ -400,8 +590,8 @@ def _path_relation(triples: DataFrame, path: tuple[PathElem, ...]) -> DataFrame:
                 rel.join(nxt, rel["o"] == nxt["m"])
                 .select("s", F.col("o2").alias("o"))
             )
-            if elem.star:
-                # zero-length hop allowed mid-sequence: R ∪ R ∘ TC(q)
+            if zero_ok:
+                # zero-length hop allowed mid-sequence: R ∪ R ∘ step
                 rel = rel.unionByName(composed).dropDuplicates()
             else:
                 rel = composed
@@ -459,9 +649,16 @@ def _join_patterns(triples: DataFrame, patterns: list,
             shared = sorted(set(bound.columns) & set(b.columns))
             bound = bound.join(b, on=shared) if shared else bound.crossJoin(b)
     assert bound is not None  # parser rejects empty groups
-    for var in filters or []:
-        if var in bound.columns:
-            bound = bound.where(F.col(var).rlike(_IS_IRI_RE))
+    return _apply_filters(bound, filters)
+
+
+def _apply_filters(bound: DataFrame, filters: list | None) -> DataFrame:
+    """Apply Filter constraints whose variables are all bound. A filter
+    naming a variable no pattern binds is skipped (lenient; strict SPARQL
+    treats the unbound reference as an error that removes the row)."""
+    for f in filters or []:
+        if all(v in bound.columns for v in f.vars):
+            bound = bound.where(f.column())
     return bound
 
 
@@ -502,10 +699,7 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
     for opt_p, opt_f in query.optionals or []:
         bound = _merge(bound, _join_patterns(triples, opt_p, opt_f), how="left")
     assert bound is not None
-    for var in query.iri_filters:
-        if var in bound.columns:
-            bound = bound.where(F.col(var).rlike(_IS_IRI_RE))
-    return bound
+    return _apply_filters(bound, query.filters)
 
 
 def _instantiate(bound: DataFrame, template: list) -> DataFrame:

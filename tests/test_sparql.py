@@ -23,7 +23,10 @@ def test_parse_select():
     assert q.form == "select"
     assert q.projection == ["match", "score", "query", "corpusprofile"]
     assert len(q.patterns) == 3
-    assert all(isinstance(p.path, tuple) and not p.path[0].star for p in q.patterns)
+    assert all(
+        isinstance(p.path, sparql.PathNode) and p.path.op == "iri"
+        for p in q.patterns
+    )
 
 
 def test_parse_construct_paths():
@@ -37,8 +40,10 @@ def test_parse_construct_paths():
         )
     ]
     seq = q.patterns[0].path
-    assert [e.iri for e in seq] == [sparql.RDF_TYPE, RDFS_SUB]
-    assert [e.star for e in seq] == [False, True]
+    assert seq.op == "seq"
+    first, second = seq.kids
+    assert (first.op, first.iri) == ("iri", sparql.RDF_TYPE)
+    assert second.op == "star" and second.kids[0].iri == RDFS_SUB
     assert q.iri_filters == ["cls"]
 
 
@@ -232,9 +237,10 @@ def test_path_alternation_inverse_plus(spark):
     got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
     assert got == {(EX + "a", EX + "b"), (EX + "b", EX + "c"), (EX + "c", EX + "d")}
 
-    # (p|q)+ = transitive closure over the union relation
+    # (p|q)+ = transitive closure over the union relation (spec grouping —
+    # bare ex:p|ex:q+ now reads p|(q+) per SPARQL 1.1 precedence)
     qplus = (f"PREFIX ex: <{EX}>\n"
-             "SELECT ?s ?o WHERE { ?s ex:p|ex:q+ ?o . }")
+             "SELECT ?s ?o WHERE { ?s (ex:p|ex:q)+ ?o . }")
     got = {(r["s"], r["o"]) for r in sparql.evaluate(t, qplus).collect()}
     assert (EX + "a", EX + "d") in got and len(got) == 6
 
@@ -355,3 +361,150 @@ def test_update_delete_with_union_where(spark):
     out = sparql.update(_g(spark), stmt)
     rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
     assert rows == {(EX + "x", sparql.RDF_TYPE, EX + "a")}
+
+
+# --- SPARQL 1.1 path precedence / grouping parens / FILTER expressions ---
+
+
+def test_path_spec_precedence_alt_looser_than_mod():
+    """``p|q+`` is ``p | (q+)`` per SPARQL 1.1 (the r2 deviation is gone)."""
+    q = sparql.parse(
+        f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s ex:p|ex:q+ ?o . }}"
+    )
+    path = q.patterns[0].path
+    assert path.op == "alt"
+    left, right = path.kids
+    assert (left.op, left.iri) == ("iri", EX + "p")
+    assert right.op == "plus" and right.kids[0].iri == EX + "q"
+
+
+def test_path_parens_group_closure(spark):
+    """``(p/q)+`` closes over the two-hop composition."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "m1"),
+            (EX + "m1", EX + "q", EX + "b"),
+            (EX + "b", EX + "p", EX + "m2"),
+            (EX + "m2", EX + "q", EX + "c"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s (ex:p/ex:q)+ ?o . }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {
+        (EX + "a", EX + "b"), (EX + "b", EX + "c"), (EX + "a", EX + "c"),
+    }
+
+
+def test_path_alt_of_sequences(spark):
+    """``p/q|r`` groups as ``(p/q)|r`` — sequence binds tighter."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "m"),
+            (EX + "m", EX + "q", EX + "b"),
+            (EX + "x", EX + "r", EX + "y"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s ex:p/ex:q|ex:r ?o . }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "x", EX + "y")}
+
+
+def test_path_zero_or_one_mid_sequence(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "b", EX + "q", EX + "c"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s ex:p/ex:q? ?o . }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "a", EX + "c")}
+
+
+def test_path_bare_zero_or_one_raises(spark):
+    import pytest
+
+    t = _triples(spark, [(EX + "a", EX + "p", EX + "b")])
+    with pytest.raises(ValueError, match="zero-or-one|bounded domain"):
+        sparql.evaluate(
+            t, f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s ex:p? ?o . }}"
+        ).collect()
+
+
+def test_filter_not_equal(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "b", EX + "p", EX + "b"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s ex:p ?o . FILTER(?s != ?o) }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "b")}
+
+
+def test_filter_numeric_comparison_and_conjunction(spark):
+    t = _triples(
+        spark,
+        [
+            ("m1", EX + "score", "0.5"),
+            ("m2", EX + "score", "0.9"),
+            ("m3", EX + "score", "0.10"),  # numerically 0.1, lexically > "0.5"
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?m WHERE { ?m ex:score ?v . FILTER(?v >= 0.5 && ?v < 0.9) }")
+    got = {r["m"] for r in sparql.evaluate(t, q).collect()}
+    assert got == {"m1"}
+
+
+def test_filter_regex_and_negation(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "label", "Pelvic fin"),
+            (EX + "b", EX + "label", "dorsal fin"),
+            (EX + "c", EX + "label", "eye"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         'SELECT ?s WHERE { ?s ex:label ?l . FILTER regex(?l, "^pelvic", "i") }')
+    got = {r["s"] for r in sparql.evaluate(t, q).collect()}
+    assert got == {EX + "a"}
+    q2 = (f"PREFIX ex: <{EX}>\n"
+          'SELECT ?s WHERE { ?s ex:label ?l . FILTER(!regex(?l, "fin")) }')
+    got2 = {r["s"] for r in sparql.evaluate(t, q2).collect()}
+    assert got2 == {EX + "c"}
+
+
+def test_filter_iri_comparison(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "c", EX + "p", EX + "d"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o = ex:b) }")
+    assert {r["s"] for r in sparql.evaluate(t, q).collect()} == {EX + "a"}
+
+
+def test_filter_or_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="UNION"):
+        sparql.parse(
+            "SELECT ?s WHERE { ?s ?p ?o . FILTER(?o = \"x\" || ?o = \"y\") }"
+        )
+
+
+def test_comment_hash_inside_regex_string():
+    q = sparql.parse(
+        'SELECT ?s WHERE { ?s ?p ?o . FILTER regex(?o, "tag#[0-9]+") }'
+    )
+    assert q.filters[0].rhs == "tag#[0-9]+"
