@@ -1766,6 +1766,19 @@ SELECT query_id, neighbor_id, cos, CAST(rn AS integer) AS rnk FROM r WHERE rn <=
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF ANN promoted to an oracle-paired entry (VERDICT r2 item 5): with
+    ``nprobe == n_cells`` every cell is probed, so the trained-partition
+    path degenerates to exact search BY CONSTRUCTION and the DuckDB oracle
+    is the brute-force cosine SQL. The approximate regime (nprobe <
+    n_cells) stays covered by the recall parity pytest."""
+    from phenoscape_owl_tools_spark.operators import annsearch
+
+    emb, q = _ann_queries(spark, sf_dir)
+    r = annsearch.ivf_topk(emb, q, k=5, n_cells=8, nprobe=8)
+    return r.select("query_id", "neighbor_id", "cos", F.col("rank").alias("rnk"))
+
+
 _LSH_DIMS = (1, 8, 16, 24)
 
 
@@ -2368,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -2459,6 +2473,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": SQL_ANN_COSINE_TOPK,  # nprobe == n_cells ≡ exact
         "language_id": SQL_LANGUAGE_ID,
         "quality_score": SQL_QUALITY_SCORE,
         "token_stats": sql_token_stats,

@@ -192,6 +192,85 @@ def closure_scale_main() -> None:
 
 
 # ---------------------------------------------------------------------------
+# mixed incremental-closure batch (BENCH.md §9): delete + insert maintenance
+# vs from-scratch recompute on the 150k-node B-ary DAG — the continuous-
+# ingest story at 10^12-doc scale is exactly this maintenance loop.
+# ---------------------------------------------------------------------------
+
+def incremental_mixed_main(
+    n_delete: int = 500, n_insert: int = 1000, n_nodes: int = 150_000
+) -> None:
+    from pyspark.sql import functions as F
+
+    from phenoscape_owl_tools_spark.operators.closure import (
+        incremental_closure_delete,
+        incremental_closure_update,
+        transitive_closure,
+    )
+    from phenoscape_owl_tools_spark.session import get_spark
+
+    spark = get_spark("bench-incremental-mixed")
+    branching = 10
+    base = spark.range(1, n_nodes).select(
+        F.concat(F.lit("n"), F.col("id")).alias("sub"),
+        F.concat(F.lit("n"), (F.col("id") / branching).cast("long")).alias("sup"),
+    )
+    cross = (
+        spark.range(3, n_nodes, 3)
+        .where((F.col("id") / branching).cast("long") > 0)
+        .select(
+            F.concat(F.lit("n"), F.col("id")).alias("sub"),
+            F.concat(F.lit("n"), ((F.col("id") / branching).cast("long") - 1)).alias("sup"),
+        )
+    )
+    asserted = base.unionByName(cross).localCheckpoint(eager=True)
+    before = transitive_closure(asserted).localCheckpoint(eager=True)
+    # deterministic batch: delete leaf-region base edges (strided ids from
+    # the deep half — the realistic continuous-ingest shape, where
+    # retractions touch recent leaves, not hub-adjacent roots), insert
+    # n_insert brand-new deep-to-shallow skip edges
+    deleted = spark.range(
+        n_nodes // 2, n_nodes // 2 + 10 * n_delete, 10
+    ).select(
+        F.concat(F.lit("n"), F.col("id")).alias("sub"),
+        F.concat(F.lit("n"), (F.col("id") / branching).cast("long")).alias("sup"),
+    ).localCheckpoint(eager=True)
+    inserted = spark.range(n_nodes, n_nodes + n_insert).select(
+        F.concat(F.lit("n"), F.col("id")).alias("sub"),
+        F.concat(F.lit("n"), (F.col("id") % 97 + 2)).alias("sup"),
+    ).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    after_del = incremental_closure_delete(before, asserted, deleted)
+    mid = after_del.localCheckpoint(eager=True)
+    got = incremental_closure_update(mid, inserted)
+    n_inc = got.count()
+    t_inc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    scratch = transitive_closure(
+        asserted.join(deleted, on=["sub", "sup"], how="left_anti")
+        .unionByName(inserted)
+    )
+    n_scr = scratch.count()
+    t_scr = time.perf_counter() - t0
+    identical = (
+        got.exceptAll(scratch).isEmpty() and scratch.exceptAll(got).isEmpty()
+    )
+    print(json.dumps({
+        "job": "mixed incremental closure (delete %d + insert %d)" % (n_delete, n_insert),
+        "closure_rows_before": before.count(),
+        "closure_rows_after": n_inc,
+        "incremental_sec": round(t_inc, 2),
+        "scratch_sec": round(t_scr, 2),
+        "speedup": round(t_scr / t_inc, 2),
+        "identical": identical,
+        "scratch_rows": n_scr,
+    }))
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
 # scaling evidence (north_rule: throughput efficiency >= 0.8 from N to 4N)
 # ---------------------------------------------------------------------------
 
@@ -290,6 +369,11 @@ def main() -> None:
         return
     if "--closure-scale" in sys.argv:
         closure_scale_main()
+        return
+    if "--incremental-mixed" in sys.argv:
+        i = sys.argv.index("--incremental-mixed")
+        n_nodes = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 150_000
+        incremental_mixed_main(n_nodes=n_nodes)
         return
     print(json.dumps(run_headline(sf_dir)))
 

@@ -98,6 +98,13 @@ class IterationBarrier:
                                  -(-rows // TARGET_ROWS_PER_PARTITION)))
 
     def _under_width(self, df: DataFrame, action):
+        # NOTE: temporarily mutates the SESSION-global shuffle width around
+        # the barrier action. This assumes one driver thread plans jobs at a
+        # time (true for this pipeline's drivers and tests); concurrent
+        # query threads sharing the SparkSession could plan under the
+        # narrowed width or race the restore. A per-plan alternative
+        # (repartition/hints on every shuffle inside the fixpoint) would
+        # obscure every operator for a setting that only matters mid-barrier.
         if self._width is None:
             return action()
         conf = df.sparkSession.conf

@@ -413,17 +413,25 @@ def homology_axioms_vahm(homology: DataFrame) -> DataFrame:
         .unionByName(ev.select(*t(ev_ind, F.lit(DC_SOURCE), F.col("publication"))))
         .unionByName(ev.select(*t(F.col("anc"), F.lit(vocab.HAS_EVIDENCE), ev_ind)))
     )
-    # ontology-level property axioms, once per relation present in the input
-    rels = h.select("up", "down", "rel").dropDuplicates()
-    sup = F.when(F.col("rel") == "hom to", F.lit(IN_HISTORICAL_HOMOLOGY)).otherwise(
-        F.lit(SERIALLY_HOMOLOGOUS_TO)
-    )
-    ch = F.concat(sup, F.lit("#chain"))
-    onto = (
-        rels.select(*t(F.col("up"), F.lit(OWL_INVERSE_OF), F.col("down")))
-        .unionByName(rels.select(*t(sup, F.lit(OWL_PROPERTY_CHAIN), ch)))
-        .unionByName(rels.select(*t(ch, F.lit(RDF_N + "1"), F.col("up"))))
-        .unionByName(rels.select(*t(ch, F.lit(RDF_N + "2"), F.col("down"))))
+    # ontology-level property axioms: the reference adds BOTH relations'
+    # inverse + chain axioms unconditionally in convertFile
+    # (HomologyTableToOWLVAHM.scala:44-50) — static rows, not derived from
+    # the input, so an input with only one relation's rows (or only negated
+    # rows) still carries the full property vocabulary.
+    static_rows = []
+    for up, down, sup in (
+        (HH_MEMBER_OF, HAS_HH_MEMBER, IN_HISTORICAL_HOMOLOGY),
+        (SH_MEMBER_OF, HAS_SH_MEMBER, SERIALLY_HOMOLOGOUS_TO),
+    ):
+        ch = sup + "#chain"
+        static_rows += [
+            (up, OWL_INVERSE_OF, down),
+            (sup, OWL_PROPERTY_CHAIN, ch),
+            (ch, RDF_N + "1", up),
+            (ch, RDF_N + "2", down),
+        ]
+    onto = homology.sparkSession.createDataFrame(
+        static_rows, "subj string, pred string, obj string"
     )
     return member.unionByName(evidence).unionByName(onto).dropDuplicates()
 
@@ -482,8 +490,6 @@ def homology_axioms_annotations(homology: DataFrame) -> DataFrame:
         F.trim("relation").alias("rel"),
         F.col("evidence_code"),
         F.col("publication"),
-    ).where(
-        F.col("rel").isin("hom to", "not hom to", "ser hom to", "not ser hom to")
     ).withColumn(
         "uid",
         F.sha2(F.concat_ws("\t", "s1", "rel", "s2",
@@ -493,9 +499,12 @@ def homology_axioms_annotations(homology: DataFrame) -> DataFrame:
     ).withColumn(
         "ev", F.concat(F.col("ann"), F.lit("#evidence"))
     ).withColumn(
+        # the reference types every non-'hom to' row — INCLUDING serial
+        # homology — as negativeHomologyAnnotation, and processes all rows
+        # without a relation whitelist (scala:62-65); mirrored exactly
         "cls",
-        F.when(F.col("rel").startswith("not "), F.lit(NEG_HOMOLOGY_ANNOTATION))
-        .otherwise(F.lit(HOMOLOGY_ANNOTATION)),
+        F.when(F.col("rel") == "hom to", F.lit(HOMOLOGY_ANNOTATION))
+        .otherwise(F.lit(NEG_HOMOLOGY_ANNOTATION)),
     )
 
     def t(subj, pred, obj):

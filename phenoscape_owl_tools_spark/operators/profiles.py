@@ -101,6 +101,9 @@ def _set_col(states_col):
 # .scala is in-memory Scala) — a taxonomy is dimension-scale even at
 # 10^12-document corpora; only the ASSOCIATION aggregation is fact-scale.
 DRIVER_FITCH_MAX_ROWS = 2_000_000
+# Rows alone under-measure a table whose payload is ARRAYS: bound the
+# driver fold by estimated bytes too (state-character volume dominates).
+DRIVER_FITCH_MAX_BYTES = 512 * 1024 * 1024
 
 
 def evolutionary_profiles(
@@ -143,9 +146,21 @@ def evolutionary_profiles(
         "asserted",
     )
     if strategy != "distributed":
-        n_asserted = asserted.count()
+        stats = asserted.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.aggregate("states", F.lit(0), lambda a, x: a + F.length(x))),
+                F.lit(0),
+            ).alias("state_chars"),
+        ).collect()[0]
+        n_asserted, state_chars = stats["n"], stats["state_chars"]
+        # UTF-8 chars + per-row/driver-object overhead, conservative
+        est_bytes = state_chars * 4 + n_asserted * 120
         n_edges = taxonomy_edges.count()
-        if strategy == "driver" or max(n_asserted, n_edges) <= DRIVER_FITCH_MAX_ROWS:
+        if strategy == "driver" or (
+            max(n_asserted, n_edges) <= DRIVER_FITCH_MAX_ROWS
+            and est_bytes <= DRIVER_FITCH_MAX_BYTES
+        ):
             return _fitch_driver(spark, taxonomy_edges, asserted)
     depths = barrier(taxonomy_depths(taxonomy_edges), "depths")
     max_depth = depths.agg(F.max("depth")).collect()[0][0]

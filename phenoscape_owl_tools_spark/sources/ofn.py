@@ -134,8 +134,9 @@ def _split_axioms(text: str) -> tuple[dict[str, str], list[list]]:
             i += 1  # unwrap: skip name + IRI tokens until matching content
             if i < n and toks[i][0] == "lpar":
                 i += 1
-                # optional ontology IRI / version IRI
-                while i < n and toks[i][0] == "iri":
+                # optional ontology IRI / version IRI — full or abbreviated
+                # (a prefixed name is a valid ontology IRI here too)
+                while i < n and toks[i][0] in ("iri", "pname"):
                     i += 1
             continue
         if kind == "word":
@@ -499,12 +500,24 @@ def render_document(rows, ontology_iri: str = "http://example.org/ontology") -> 
     return "\n".join(lines) + "\n"
 
 
+WRITE_OFN_MAX_ROWS = 5_000_000
+
+
 def write_ofn(axioms: DataFrame, path: str,
               ontology_iri: str = "http://example.org/ontology") -> None:
     """Write an axiom frame as one OFN file (driver-side collect — an
     ontology/TBox is dimension-scale by the engine's data model; fact-scale
     triple exports go through the N-Triples text sink in ``catalog`` instead).
+    Guarded: refuses frames beyond ``WRITE_OFN_MAX_ROWS`` rather than
+    silently attempting a multi-GB driver collect.
     """
+    n = axioms.count()
+    if n > WRITE_OFN_MAX_ROWS:
+        raise ValueError(
+            f"write_ofn: {n} axiom rows exceeds WRITE_OFN_MAX_ROWS "
+            f"({WRITE_OFN_MAX_ROWS}) — this is fact-scale data; export via "
+            "catalog.to_ntriples (distributed text sink) instead"
+        )
     rows = [(r["kind"], r["s"], r["p"], r["o"]) for r in
             axioms.select("kind", "s", "p", "o").collect()]
     with open(path, "w", encoding="utf-8") as fh:

@@ -615,6 +615,14 @@ def write_turtle(axioms: DataFrame, path: str) -> None:
     """Write an axiom frame as one Turtle file (driver-side collect — an
     ontology/TBox is dimension-scale; fact-scale triple exports go through
     ``catalog.to_ntriples``). Guarded like ``ofn.write_ofn``."""
+    from .ofn import WRITE_OFN_MAX_ROWS
+
+    n = axioms.count()
+    if n > WRITE_OFN_MAX_ROWS:
+        raise ValueError(
+            f"write_turtle: {n} axiom rows exceeds the driver-collect guard "
+            f"({WRITE_OFN_MAX_ROWS}) — export via catalog.to_ntriples instead"
+        )
     rows = [(r["kind"], r["s"], r["p"], r["o"]) for r in
             axioms.select("kind", "s", "p", "o").collect()]
     with open(path, "w", encoding="utf-8") as fh:
