@@ -198,8 +198,17 @@ def closure_scale_main() -> None:
 # ---------------------------------------------------------------------------
 
 def incremental_mixed_main(
-    n_delete: int = 500, n_insert: int = 1000, n_nodes: int = 150_000
+    n_delete: int = 500, n_insert: int = 1000, n_nodes: int = 150_000,
+    shape: str = "bary",
 ) -> None:
+    """Mixed-batch (delete + insert) closure maintenance vs from-scratch.
+
+    Two graph shapes, because the crossover is about DEPTH, not size: a
+    branching-10 B-ary DAG closes from scratch in ~log10(N) semi-naive
+    rounds (recompute is cheap — maintenance loses there, honestly
+    reported in BENCH §9), while a depth-40 layered DAG (the realistic
+    ontology/taxonomy shape of the deep-taxonomy stress) pays ~40 rounds
+    from scratch but the leaf-region delta closes in a few."""
     from pyspark.sql import functions as F
 
     from phenoscape_owl_tools_spark.operators.closure import (
@@ -211,29 +220,45 @@ def incremental_mixed_main(
 
     spark = get_spark("bench-incremental-mixed")
     branching = 10
-    base = spark.range(1, n_nodes).select(
-        F.concat(F.lit("n"), F.col("id")).alias("sub"),
-        F.concat(F.lit("n"), (F.col("id") / branching).cast("long")).alias("sup"),
-    )
-    cross = (
-        spark.range(3, n_nodes, 3)
-        .where((F.col("id") / branching).cast("long") > 0)
-        .select(
+    if shape == "deep":
+        # depth-40 layered DAG: node i's parent is i - width (plus a second
+        # cross-parent on every 7th node) — closure depth 40 regardless of N
+        width = max(1, n_nodes // 40)
+        base = spark.range(width, n_nodes).select(
             F.concat(F.lit("n"), F.col("id")).alias("sub"),
-            F.concat(F.lit("n"), ((F.col("id") / branching).cast("long") - 1)).alias("sup"),
+            F.concat(F.lit("n"), F.col("id") - width).alias("sup"),
         )
-    )
+        cross = spark.range(width + 1, n_nodes, 7).select(
+            F.concat(F.lit("n"), F.col("id")).alias("sub"),
+            F.concat(F.lit("n"), F.col("id") - width - 1).alias("sup"),
+        )
+    else:
+        base = spark.range(1, n_nodes).select(
+            F.concat(F.lit("n"), F.col("id")).alias("sub"),
+            F.concat(F.lit("n"), (F.col("id") / branching).cast("long")).alias("sup"),
+        )
+        cross = (
+            spark.range(3, n_nodes, 3)
+            .where((F.col("id") / branching).cast("long") > 0)
+            .select(
+                F.concat(F.lit("n"), F.col("id")).alias("sub"),
+                F.concat(F.lit("n"), ((F.col("id") / branching).cast("long") - 1)).alias("sup"),
+            )
+        )
     asserted = base.unionByName(cross).localCheckpoint(eager=True)
     before = transitive_closure(asserted).localCheckpoint(eager=True)
     # deterministic batch: delete leaf-region base edges (strided ids from
     # the deep half — the realistic continuous-ingest shape, where
     # retractions touch recent leaves, not hub-adjacent roots), insert
     # n_insert brand-new deep-to-shallow skip edges
-    deleted = spark.range(
-        n_nodes // 2, n_nodes // 2 + 10 * n_delete, 10
-    ).select(
+    del_ids = spark.range(n_nodes // 2, n_nodes // 2 + 10 * n_delete, 10)
+    if shape == "deep":
+        parent = F.col("id") - max(1, n_nodes // 40)
+    else:
+        parent = (F.col("id") / branching).cast("long")
+    deleted = del_ids.select(
         F.concat(F.lit("n"), F.col("id")).alias("sub"),
-        F.concat(F.lit("n"), (F.col("id") / branching).cast("long")).alias("sup"),
+        F.concat(F.lit("n"), parent).alias("sup"),
     ).localCheckpoint(eager=True)
     inserted = spark.range(n_nodes, n_nodes + n_insert).select(
         F.concat(F.lit("n"), F.col("id")).alias("sub"),
@@ -258,7 +283,8 @@ def incremental_mixed_main(
         got.exceptAll(scratch).isEmpty() and scratch.exceptAll(got).isEmpty()
     )
     print(json.dumps({
-        "job": "mixed incremental closure (delete %d + insert %d)" % (n_delete, n_insert),
+        "job": "mixed incremental closure (delete %d + insert %d, %s)"
+               % (n_delete, n_insert, shape),
         "closure_rows_before": before.count(),
         "closure_rows_after": n_inc,
         "incremental_sec": round(t_inc, 2),
@@ -373,7 +399,8 @@ def main() -> None:
     if "--incremental-mixed" in sys.argv:
         i = sys.argv.index("--incremental-mixed")
         n_nodes = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 150_000
-        incremental_mixed_main(n_nodes=n_nodes)
+        shape = sys.argv[i + 2] if len(sys.argv) > i + 2 else "bary"
+        incremental_mixed_main(n_nodes=n_nodes, shape=shape)
         return
     print(json.dumps(run_headline(sf_dir)))
 
