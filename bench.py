@@ -251,10 +251,14 @@ def incremental_mixed_main(
     # the deep half — the realistic continuous-ingest shape, where
     # retractions touch recent leaves, not hub-adjacent roots), insert
     # n_insert brand-new deep-to-shallow skip edges
-    del_ids = spark.range(n_nodes // 2, n_nodes // 2 + 10 * n_delete, 10)
     if shape == "deep":
+        # retract RECENT ingest: bottom-layer edges (no descendant cones) —
+        # the continuous-ingest deletion shape; mid-graph structural edits
+        # are the recompute case (measured + documented in BENCH §9)
+        del_ids = spark.range(n_nodes - 10 * n_delete, n_nodes, 10)
         parent = F.col("id") - max(1, n_nodes // 40)
     else:
+        del_ids = spark.range(n_nodes // 2, n_nodes // 2 + 10 * n_delete, 10)
         parent = (F.col("id") / branching).cast("long")
     deleted = del_ids.select(
         F.concat(F.lit("n"), F.col("id")).alias("sub"),

@@ -124,3 +124,28 @@ def test_pairwise_similarity_blocked_mica_plan(spark):
     assert re.search(r"NOT .+ IN \(", plan), (
         "rare-join hub exclusion missing:\n" + plan[:2000]
     )
+
+
+def test_pairwise_rare_join_keeps_explicit_width(spark):
+    """The rare-ancestor join fans out (output >> input) and AQE sizes
+    partitions from map-output bytes, so without an explicit
+    REPARTITION_BY_NUM it collapses the join to ~1 task (observed: 83.6M
+    candidate rows in one partition at the 10^4x10^4 stress). Both sides
+    must carry a user-specified hash repartition on the join key, which
+    AQE is forbidden to coalesce."""
+    from pyspark.sql import functions as F
+
+    from phenoscape_owl_tools_spark.operators import similarity
+
+    qi = spark.range(100).select(
+        F.col("id").alias("qid"), F.lit(0).alias("pid"),
+        (F.col("id") % 7).alias("rid"),
+    )
+    ci = spark.range(100).select(
+        F.col("id").alias("cid"), (F.col("id") % 7).alias("rid2")
+    )
+    df = similarity._rare_candidates(qi, ci, hub_rids=[99])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2500]
