@@ -254,12 +254,40 @@ def _rare_candidates(qi: DataFrame, ci: DataFrame, hub_rids: list[int]) -> DataF
     )
 
 
+# Below this (query-annotations x corpus-annotations) product the hub
+# machinery (rank checkpoint, mask aggregations, tiled product, extra
+# shuffles) is pure fixed overhead over the plain equi-join — no key can be
+# hot enough to matter. Mirrors the Fitch auto-strategy pattern.
+AUTO_HUB_PRODUCT_THRESHOLD = 25_000_000
+
+
+def _pairwise_scores_simple(
+    q_anc: DataFrame, c_anc: DataFrame, ic: DataFrame
+) -> DataFrame:
+    """The definitional MICA formulation — one shared-ancestor equi-join +
+    ``max(struct(ic, anc))``. Row-identical to the blocked/encoded plan
+    (rank order IS this struct order); used below the auto threshold where
+    the encoded pipeline's fixed stage count dominates."""
+    icn = ic.select(F.col("node").alias("_n"), "ic")
+    return (
+        q_anc.join(c_anc, q_anc["anc"] == c_anc["anc2"])
+        .join(icn, F.col("anc") == F.col("_n"))
+        .groupBy("query", "corpus", "qa")
+        .agg(F.max(F.struct("ic", F.col("anc"))).alias("m"))
+        .select(
+            "query", "corpus", "qa",
+            F.col("m.ic").alias("max_subsumer_ic"),
+            F.col("m.anc").alias("max_subsumer"),
+        )
+    )
+
+
 def pairwise_scores(
     query_profiles: DataFrame,
     corpus_profiles: DataFrame,
     closure: DataFrame,
     ic: DataFrame,
-    hub_bits: int = 48,
+    hub_bits: int | None = None,
 ) -> DataFrame:
     """J9/A5 — per-(query, corpus, query-annotation) best common subsumer
     (MICA), the input to the exact-median pair score.
@@ -290,9 +318,25 @@ def pairwise_scores(
       the plan has no more shuffles than the naive one.
 
     ``hub_bits=0`` disables the hub path (the naive all-pairs plan, kept for
-    A/B benchmarking). Results are exactly equal for any ``hub_bits`` —
-    rank order IS the max-(ic, anc) struct order on both paths.
+    A/B benchmarking); ``hub_bits=None`` (default) auto-selects — 0 when the
+    annotation product is under ``AUTO_HUB_PRODUCT_THRESHOLD`` (the hub
+    machinery's fixed overhead dominates small corpora), 48 otherwise.
+    Results are exactly equal for any ``hub_bits`` — rank order IS the
+    max-(ic, anc) struct order on both paths.
     """
+    if hub_bits is None:
+        n_q = query_profiles.count()
+        n_c = corpus_profiles.count()
+        if n_q * n_c <= AUTO_HUB_PRODUCT_THRESHOLD:
+            # Small corpora skip the ENTIRE encode/block machinery: the
+            # rank/encode/decode pipeline is ~15 fixed stages (measured 10x
+            # slower than the one-join struct-max at sf0.1 scale), and no
+            # key can be hot enough to need it.
+            q_anc, c_anc = _annotation_ancestors(
+                query_profiles, corpus_profiles, closure
+            )
+            return _pairwise_scores_simple(q_anc, c_anc, ic)
+        hub_bits = 48
     if not 0 <= hub_bits <= 62:
         raise ValueError(f"hub_bits must be in [0, 62], got {hub_bits}")
     q_anc, c_anc = _annotation_ancestors(query_profiles, corpus_profiles, closure)

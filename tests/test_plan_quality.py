@@ -112,18 +112,49 @@ def test_ivf_topk_has_no_cartesian(spark):
 
 
 def test_pairwise_similarity_blocked_mica_plan(spark):
-    """J9 skew defense must be visible in the plan: the hub-ancestor bitmask
-    aggregation (bit_or over shifted hub positions) feeding the compact-mask
-    product, and the rare-ancestor equi-join excluding hub keys. The
+    """J9 skew defense must be visible in the plan when the hub path is
+    selected: the hub-ancestor bitmask aggregation (bit_or over shifted hub
+    positions) feeding the compact-mask product, and the rare-ancestor
+    equi-join excluding hub keys. hub_bits is forced on because the
+    registry's tiny fixture auto-selects the naive plan (see
+    test_pairwise_similarity_auto_selects_naive_below_threshold). The
     partition-histogram acceptance bar (max <= 4x median) lives in
     tests/test_similarity.py::test_pairwise_rare_join_skew_bounded."""
-    plan = _plan(spark, "pairwise_similarity")
+    from pyspark.sql import functions as F
+
+    from phenoscape_owl_tools_spark.operators import similarity as S
+
+    cl = spark.createDataFrame(
+        [("a", "root"), ("b", "root"), ("c", "root")], ["sub", "sup"]
+    )
+    prof = spark.createDataFrame(
+        [("g1", "a"), ("g2", "b"), ("t1", "a"), ("t2", "c")],
+        ["individual", "phenotype"],
+    )
+    q = prof.where(F.col("individual").startswith("g"))
+    c = prof.where(F.col("individual").startswith("t"))
+    ic = S.information_content(
+        S.indirect_associations(prof, cl), c.select("individual"), cl
+    )
+    df = S.pairwise_scores(q, c, cl, ic, hub_bits=2)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "bit_or" in plan, "hub bitmask aggregation missing:\n" + plan[:2000]
     # Catalyst pushes the isin-negation through the IRI-projection, so the
     # filter shows up against the source expression, not the anc alias.
     assert re.search(r"NOT .+ IN \(", plan), (
         "rare-join hub exclusion missing:\n" + plan[:2000]
     )
+
+
+def test_pairwise_similarity_auto_selects_naive_below_threshold(spark):
+    """hub_bits=None auto-selects: the hub machinery is fixed overhead on
+    small corpora (measured: 14.1 s -> ~4 s at sf0.1), so below
+    AUTO_HUB_PRODUCT_THRESHOLD the plan must be the plain equi-join —
+    no bitmask aggregation anywhere."""
+    plan = _plan(spark, "pairwise_similarity")
+    assert "bit_or" not in plan, "naive auto-selection regressed:\n" + plan[:2000]
 
 
 def test_pairwise_rare_join_keeps_explicit_width(spark):

@@ -291,3 +291,34 @@ def test_shard_assignment_matches_ntile(spark):
         expected_sizes = [q + 1] * m + [q] * (n_shards - m)
         assert sizes == expected_sizes, (total, n_shards, sizes)
         assert seen == sorted(f"ind{i:04d}" for i in range(total))  # contiguous sorted slices
+
+
+def test_pairwise_simple_path_matches_encoded(spark):
+    """The auto-selected small-corpus struct-max path is row-identical to
+    the encoded/blocked plan (rank order IS the (ic, anc) struct order)."""
+    prof_df, cl = _skewed_case(spark)
+    q = prof_df.where(prof_df["individual"].startswith("GENE"))
+    c = prof_df.where(prof_df["individual"].startswith("VTO"))
+    ind = similarity.indirect_associations(prof_df, cl)
+    ic_df = similarity.information_content(
+        ind, c.select("individual").distinct(), cl
+    ).localCheckpoint(eager=True)
+    q_anc, c_anc = similarity._annotation_ancestors(q, c, cl)
+    simple = {
+        (r["query"], r["corpus"], r["qa"], r["max_subsumer"],
+         round(r["max_subsumer_ic"], 12))
+        for r in similarity._pairwise_scores_simple(q_anc, c_anc, ic_df).collect()
+    }
+    encoded = {
+        (r["query"], r["corpus"], r["qa"], r["max_subsumer"],
+         round(r["max_subsumer_ic"], 12))
+        for r in similarity.pairwise_scores(q, c, cl, ic_df, hub_bits=48).collect()
+    }
+    assert simple == encoded and simple
+    # and the auto path (small product here) returns the same rows
+    auto = {
+        (r["query"], r["corpus"], r["qa"], r["max_subsumer"],
+         round(r["max_subsumer_ic"], 12))
+        for r in similarity.pairwise_scores(q, c, cl, ic_df).collect()
+    }
+    assert auto == simple
