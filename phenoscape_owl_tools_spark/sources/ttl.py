@@ -99,16 +99,12 @@ def _unescape(col: Column) -> Column:
     return F.regexp_replace(col, "\x00", "\\\\")
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """N-Triples file(s) -> (subj, pred, obj, obj_is_iri) triples frame.
+def parse_ntriples_lines(lines: DataFrame) -> DataFrame:
+    """(value: string) lines -> (subj, pred, obj, obj_is_iri) triples.
 
-    Splittable line-oriented scan; all parsing is ``regexp_extract``
-    column work (whole-stage codegen, no Python). Comment/blank lines are
-    dropped; malformed statement lines raise at action time via the
-    ``assert_true`` guard column (garbage in a 100 GB dump should fail
-    loudly, not vanish).
-    """
-    lines = spark.read.text(path)
+    Pure stateless column expressions, so it applies identically to a
+    batch ``spark.read.text`` frame or a ``readStream.text`` frame (the
+    continuous-ingest path in ``streaming.ingest``)."""
     data = lines.where(
         (F.trim("value") != "") & ~F.trim("value").startswith("#")
     )
@@ -133,6 +129,17 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         ((F.col("_oiri") != "") | (F.col("_obn") != "")).alias("obj_is_iri"),
     )
     return guarded
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """N-Triples file(s) -> (subj, pred, obj, obj_is_iri) triples frame.
+
+    Splittable line-oriented scan; all parsing is ``regexp_extract``
+    column work (whole-stage codegen, no Python). Comment/blank lines are
+    dropped; malformed statement lines raise at action time via the guard
+    column (garbage in a 100 GB dump should fail loudly, not vanish).
+    """
+    return parse_ntriples_lines(spark.read.text(path))
 
 
 # ---------------------------------------------------------------------------

@@ -329,6 +329,75 @@ def run_incremental_closure(
             fh.write(version_path)
         os.replace(tmp, latest_file)  # atomic pointer swap
 
+    return _drive_closure_stream(
+        spark, edges, sink, out_path, latest_file, checkpoint_path
+    )
+
+
+def run_incremental_nt_closure(
+    spark: SparkSession,
+    nt_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    edge_pred: str = "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+    max_files_per_trigger: int | None = None,
+) -> str:
+    """Continuous closure maintenance fed by raw N-Triples dumps: drop
+    ``.nt`` files into ``nt_path`` and each micro-batch parses them with
+    the SAME stateless column expressions as the batch reader
+    (``sources.ttl.parse_ntriples_lines`` — regexp column work, streaming-
+    safe), filters ``edge_pred`` statements to (sub, sup) edges, and
+    maintains the closure incrementally with versioned snapshots + the
+    atomic ``_LATEST`` pointer. The end-to-end continuous-ingest shape: an
+    upstream exporter appends triple dumps; the closure follows without
+    recomputes."""
+    import os
+
+    from phenoscape_owl_tools_spark.operators.closure import (
+        incremental_closure_update,
+    )
+    from phenoscape_owl_tools_spark.sources.ttl import parse_ntriples_lines
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    edges = (
+        parse_ntriples_lines(reader.text(nt_path))
+        .where(F.col("pred") == edge_pred)
+        .select(F.col("subj").alias("sub"), F.col("obj").alias("sup"))
+    )
+
+    latest_file = os.path.join(out_path, "_LATEST")
+
+    def current_closure():
+        if os.path.exists(latest_file):
+            with open(latest_file) as fh:
+                return spark.read.parquet(fh.read().strip())
+        return spark.createDataFrame([], "sub string, sup string")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates().localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        updated = incremental_closure_update(current_closure(), batch_df)
+        version_path = os.path.join(out_path, f"v={batch_id}")
+        updated.write.mode("overwrite").parquet(version_path)
+        tmp = latest_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version_path)
+        os.replace(tmp, latest_file)
+
+    return _drive_closure_stream(
+        spark, edges, sink, out_path, latest_file, checkpoint_path
+    )
+
+
+def _drive_closure_stream(
+    spark: SparkSession, edges: DataFrame, sink, out_path: str,
+    latest_file: str, checkpoint_path: str,
+) -> str:
+    import os
+
     (
         edges.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_path)

@@ -222,3 +222,47 @@ def test_snapshot_time_travel(spark, tmp_path):
     v0 = {tuple(r) for r in catalog.read_snapshot(spark, out, version=first_v).collect()}
     assert latest == {("a", "b"), ("b", "c"), ("a", "c")}
     assert v0 == {("a", "b")}  # the pre-batch-2 state is still readable
+
+
+def test_incremental_nt_closure_stream(spark, tmp_path):
+    """Drop raw .nt dumps into a directory; the streamed closure equals the
+    from-scratch closure of all subclass statements, across two runs
+    (second run ingests only the newly-arrived file; non-edge and comment
+    lines are ignored)."""
+    from phenoscape_owl_tools_spark.operators import closure as closure_op
+
+    RDFS_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    nt_dir = tmp_path / "nt_in"
+    nt_dir.mkdir()
+    (nt_dir / "batch1.nt").write_text(
+        "# ontology dump chunk 1\n"
+        f"<http://x/a> <{RDFS_SUB}> <http://x/b> .\n"
+        f"<http://x/b> <{RDFS_SUB}> <http://x/c> .\n"
+        '<http://x/a> <http://x/label> "not an edge" .\n'
+    )
+    out, ckpt = tmp_path / "closure_out", tmp_path / "nt_ckpt"
+    final = ingest.run_incremental_nt_closure(
+        spark, str(nt_dir), str(out), str(ckpt)
+    )
+    got1 = {tuple(r) for r in spark.read.parquet(final).collect()}
+    assert got1 == {
+        ("http://x/a", "http://x/b"),
+        ("http://x/b", "http://x/c"),
+        ("http://x/a", "http://x/c"),
+    }
+    # second dump arrives; only the delta is processed (checkpointed source)
+    (nt_dir / "batch2.nt").write_text(
+        f"<http://x/c> <{RDFS_SUB}> <http://x/d> .\n"
+    )
+    final2 = ingest.run_incremental_nt_closure(
+        spark, str(nt_dir), str(out), str(ckpt)
+    )
+    got2 = {tuple(r) for r in spark.read.parquet(final2).collect()}
+    scratch = closure_op.transitive_closure(
+        spark.createDataFrame(
+            [("http://x/a", "http://x/b"), ("http://x/b", "http://x/c"),
+             ("http://x/c", "http://x/d")],
+            ["sub", "sup"],
+        )
+    )
+    assert got2 == {tuple(r) for r in scratch.collect()}
