@@ -209,14 +209,21 @@ def direct_hierarchy(closure: DataFrame) -> DataFrame:
     Cost guard: the two-hop intermediate is the number of length-2 paths in
     the closure — O(|C| * avg-ancestor-fanout), i.e. quadratic in depth for
     chain-heavy graphs. Fine for a bounded TBox (OBO ontologies: |C| ~ 1e7,
-    fanout ~ 40); for wider inputs compute it per-partition-bucketed on the
-    join key (``sup``/``sub`` co-bucketing) or derive direct edges from the
-    asserted graph before closing instead.
+    fanout ~ 40); for wider inputs derive direct edges from the asserted
+    graph before closing instead.
+
+    The self-join FANS OUT (|descendants(k)| x |ancestors(k)| per key k),
+    and AQE sizes partitions from map-output bytes, so on a compact closure
+    it would coalesce the join into a handful of tasks that then emit the
+    whole two-hop product serially (same hazard as the pairwise rare join —
+    BENCH §8). Both sides are explicitly co-partitioned on the join key;
+    REPARTITION_BY_NUM shuffles are exempt from AQE coalescing.
     """
     c = _edges(closure)
+    par = c.sparkSession.sparkContext.defaultParallelism
     two_hop = (
-        c.alias("x")
-        .join(c.alias("y"), F.col("x.sup") == F.col("y.sub"))
+        c.repartition(par, "sup").alias("x")
+        .join(c.repartition(par, "sub").alias("y"), F.col("x.sup") == F.col("y.sub"))
         .select(F.col("x.sub").alias("sub"), F.col("y.sup").alias("sup"))
         .dropDuplicates()
     )

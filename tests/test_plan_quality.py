@@ -180,3 +180,20 @@ def test_pairwise_rare_join_keeps_explicit_width(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2500]
+
+
+def test_direct_hierarchy_two_hop_keeps_explicit_width(spark):
+    """Same fan-out hazard as the pairwise rare join: closure∘closure emits
+    |descendants| x |ancestors| rows per key from compact inputs, so the
+    two-hop self-join must carry user-specified repartitions AQE cannot
+    coalesce."""
+    from phenoscape_owl_tools_spark.operators import closure as closure_op
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["sub", "sup"]
+    )
+    df = closure_op.direct_hierarchy(edges)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2500]
