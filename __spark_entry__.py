@@ -424,12 +424,27 @@ def _ph_closure(spark, sf_dir):
     )
 
 
+def _profile_ic(spark, sf_dir) -> DataFrame:
+    """Memoized IC stage table over the order-profile corpus — the analog
+    of the reference's ComputeICs WRITING an IC table that every similarity
+    stage then reads (ComputeICs.scala); four registry queries share it."""
+
+    def build():
+        profs = _order_profiles(spark, sf_dir)
+        corpus = profs.where(F.col("custkey") % 2 == 0).select(
+            "individual"
+        ).dropDuplicates()
+        cl = _ph_closure(spark, sf_dir)
+        ind = similarity_op.indirect_associations(
+            profs.select("individual", "phenotype"), cl
+        )
+        return similarity_op.information_content(ind, corpus, cl)
+
+    return _stage(spark, sf_dir, "profile_ic", build)
+
+
 def q_ic_scores(spark, sf_dir) -> DataFrame:
-    profs = _order_profiles(spark, sf_dir)
-    corpus = profs.where(F.col("custkey") % 2 == 0).select("individual").dropDuplicates()
-    cl = _ph_closure(spark, sf_dir)
-    ind = similarity_op.indirect_associations(profs.select("individual", "phenotype"), cl)
-    ic = similarity_op.information_content(ind, corpus, cl)
+    ic = _profile_ic(spark, sf_dir)
     return ic.select("node", "freq", (F.round(F.col("ic") + F.lit(0.0), 6)).alias("ic_r"))
 
 
@@ -467,10 +482,8 @@ def q_pairwise_similarity(spark, sf_dir) -> DataFrame:
     small = profs.where(F.col("custkey") < 120)
     q = small.where(F.col("custkey") % 2 == 1).select("individual", "phenotype")
     c = small.where(F.col("custkey") % 2 == 0).select("individual", "phenotype")
-    corpus_inds = profs.where(F.col("custkey") % 2 == 0).select("individual").dropDuplicates()
     cl = _ph_closure(spark, sf_dir)
-    ind = similarity_op.indirect_associations(profs.select("individual", "phenotype"), cl)
-    ic = similarity_op.information_content(ind, corpus_inds, cl)
+    ic = _profile_ic(spark, sf_dir)
     pas = similarity_op.pairwise_scores(q, c, cl, ic)
     med = similarity_op.groupwise_median(pas)
     return med.select(
@@ -894,10 +907,8 @@ def q_sparql_scores(spark, sf_dir) -> DataFrame:
     small = profs.where(F.col("custkey") < 120)
     q = small.where(F.col("custkey") % 2 == 1).select("individual", "phenotype")
     c = small.where(F.col("custkey") % 2 == 0).select("individual", "phenotype")
-    corpus_inds = profs.where(F.col("custkey") % 2 == 0).select("individual").dropDuplicates()
     cl = _ph_closure(spark, sf_dir)
-    ind = similarity_op.indirect_associations(profs.select("individual", "phenotype"), cl)
-    ic = similarity_op.information_content(ind, corpus_inds, cl)
+    ic = _profile_ic(spark, sf_dir)
     pas = similarity_op.pairwise_scores(q, c, cl, ic)
     med = similarity_op.groupwise_median(pas).select(
         "query", "corpus", F.round(F.col("score") + F.lit(0.0), 6).alias("score")
@@ -1415,11 +1426,8 @@ def _pairwise_inputs(spark, sf_dir):
     small = profs.where(F.col("custkey") < 120)
     q = small.where(F.col("custkey") % 2 == 1).select("individual", "phenotype")
     c = small.where(F.col("custkey") % 2 == 0).select("individual", "phenotype")
-    corpus_inds = profs.where(F.col("custkey") % 2 == 0).select("individual").dropDuplicates()
     cl = _ph_closure(spark, sf_dir)
-    ind = similarity_op.indirect_associations(profs.select("individual", "phenotype"), cl)
-    ic = similarity_op.information_content(ind, corpus_inds, cl)
-    return q, c, cl, ic
+    return q, c, cl, _profile_ic(spark, sf_dir)
 
 
 SQL_PAIR_ANN_CTE = f"""
