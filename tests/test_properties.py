@@ -100,3 +100,83 @@ def test_session_fold_invariants(ts, gap):
     # exactly one open session (the last), the rest closed
     assert (~rows["closed"]).sum() == 1
     assert not rows["closed"].iloc[-1]
+
+
+# ---------------------------------------------------------------------------
+# Ontology-serialization round-trips (pure Python: parser/renderer pairs)
+# ---------------------------------------------------------------------------
+
+_IRI_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=8
+)
+_iri = st.builds(lambda s: f"http://ex.org/{s}", _IRI_CHARS)
+
+
+@st.composite
+def _expr(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(_iri)
+    ctor = draw(st.sampled_from(["some", "and", "not"]))
+    if ctor == "some":
+        return (f"ObjectSomeValuesFrom({draw(_iri)} "
+                f"{draw(_expr(depth + 1))})")  # noqa: B023
+    if ctor == "not":
+        return f"ObjectComplementOf({draw(_expr(depth + 1))})"
+    args = sorted({draw(_expr(depth + 1)), draw(_expr(depth + 1))})
+    if len(args) == 1:
+        return args[0]
+    return f"ObjectIntersectionOf({' '.join(args)})"
+
+
+_axiom_row = st.one_of(
+    st.builds(lambda s, k: ("declaration", s, None, k), _iri,
+              st.sampled_from(["Class", "ObjectProperty", "AnnotationProperty",
+                               "NamedIndividual"])),
+    st.builds(lambda s, o: ("subclass_of", s, None, o), _expr(), _expr()),
+    st.builds(lambda s, o: ("equivalent_classes", s, None, o), _iri, _expr()),
+    st.builds(lambda s, o: ("disjoint_classes", s, None, o), _iri, _expr()),
+    st.builds(lambda s, o: ("sub_object_property", s, None, o), _iri, _iri),
+    st.builds(lambda a, b, o: ("property_chain", f"{a} {b}", None, o),
+              _iri, _iri, _iri),
+    st.builds(lambda s, p, o: ("annotation", s, p, o), _iri, _iri,
+              st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                             blacklist_characters="\x00"),
+                      max_size=20)),
+    st.builds(lambda s, o: ("class_assertion", s, None, o), _iri, _expr()),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_axiom_row, min_size=1, max_size=12))
+def test_ofn_render_parse_roundtrip(rows):
+    from phenoscape_owl_tools_spark.sources import ofn
+
+    text = ofn.render_document(rows)
+    again = [r[1:] for r in ofn.parse_document(text, src="x")]
+    # renderer sorts; annotation literal values that LOOK like absolute
+    # IRIs round-trip as IRIs (documented heuristic) — normalize both ways
+    assert sorted(set(again)) == sorted(set(tuple(r) for r in rows))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_axiom_row, min_size=1, max_size=12))
+def test_ttl_render_parse_roundtrip(rows):
+    from phenoscape_owl_tools_spark.sources import ttl
+
+    text = ttl.render_turtle_document(rows)
+    again = [r[1:] for r in ttl.parse_document(text, src="x")]
+    assert sorted(set(again)) == sorted(set(tuple(r) for r in rows))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_axiom_row, min_size=1, max_size=10))
+def test_ofn_ttl_cross_serialization_agree(rows):
+    """OFN and Turtle renderings of the same axiom frame parse back to the
+    SAME rows — the serialization-agnostic contract both readers share."""
+    from phenoscape_owl_tools_spark.sources import ofn, ttl
+
+    via_ofn = sorted(r[1:] for r in ofn.parse_document(
+        ofn.render_document(rows), src="x"))
+    via_ttl = sorted(r[1:] for r in ttl.parse_document(
+        ttl.render_turtle_document(rows), src="x"))
+    assert via_ofn == via_ttl
