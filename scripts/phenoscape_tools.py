@@ -21,10 +21,11 @@ Commands (parquet in / parquet or text out; see each function):
                                  (MODEL: rea|ava|rolification|ancestral|
                                   simple|annotations)
     convert-ontology             ontology file(s) -> normalized axiom frame
-                                 (in: .ofn/.ttl/.nt or a directory of them;
-                                  out: parquet dir, or .ofn/.ttl to
-                                  re-serialize) — the engine's analog of the
-                                 reference's OWLAPI multi-format load
+                                 (in: .ofn/.ttl/.nt/.owl RDF-XML or a
+                                  directory of them; out: parquet dir, or
+                                  .ofn/.ttl to re-serialize) — the engine's
+                                 analog of the reference's OWLAPI
+                                 multi-format load
                                  (KnowledgeBaseBuilder.scala:56-68)
 
 The reference's Blazegraph-specific ``load-triples`` (DataLoader) maps to
@@ -198,7 +199,7 @@ def cmd_convert_ontology(args: list[str]) -> None:
     Any supported serialization in, normalized axiom frame
     (src, kind, s, p, o) out; `.ofn`/`.ttl` outputs re-serialize (TBox-scale
     driver write), anything else writes parquet (distributed)."""
-    from phenoscape_owl_tools_spark.sources import ofn, ttl
+    from phenoscape_owl_tools_spark.sources import ofn, rdfxml, ttl
 
     src, out = args
     spark = _spark("convert-ontology")
@@ -208,6 +209,8 @@ def cmd_convert_ontology(args: list[str]) -> None:
         axioms = ttl.axioms_from_triples(ttl.read_ntriples(spark, src), src=src)
     elif exts & {".ttl", ".turtle"}:
         axioms = ttl.read_turtle(spark, src)
+    elif exts & {".owl", ".rdf", ".xml"}:
+        axioms = rdfxml.read_rdfxml(spark, src)
     else:
         axioms = ofn.read_ofn(spark, src)
     if out.endswith(".ofn"):

@@ -1,0 +1,144 @@
+"""RDF/XML reader tests — the third serialization must produce IDENTICAL
+normalized axiom rows to the Turtle reader for equivalent content (the
+format-agnostic contract; RDF/XML is what OWLAPI actually emits for the
+reference's ~25 web ontologies)."""
+
+from __future__ import annotations
+
+import pytest
+
+from phenoscape_owl_tools_spark.sources import rdfxml, ttl
+
+EX = "http://example.org/onto#"
+X = "http://example.org/x#"
+
+# OWLAPI-shaped RDF/XML for the same content as test_ttl.OWN_TTL
+OWN_RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://example.org/onto#Fin">
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://example.org/x#part_of"/>
+        <owl:someValuesFrom rdf:resource="http://example.org/onto#Body"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+    <rdfs:subClassOf rdf:resource="http://example.org/onto#Appendage"/>
+    <rdfs:label xml:lang="en">the fin</rdfs:label>
+    <rdfs:comment rdf:datatype="http://www.w3.org/2001/XMLSchema#string">n=1</rdfs:comment>
+    <owl:disjointWith rdf:resource="http://example.org/onto#Body"/>
+  </owl:Class>
+  <owl:ObjectProperty rdf:about="http://example.org/x#part_of">
+    <rdfs:subPropertyOf rdf:resource="http://example.org/x#overlaps"/>
+    <owl:propertyChainAxiom rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://example.org/x#part_of"/>
+      <rdf:Description rdf:about="http://example.org/x#part_of"/>
+    </owl:propertyChainAxiom>
+  </owl:ObjectProperty>
+  <owl:Class rdf:about="http://example.org/onto#FinPart">
+    <owl:equivalentClass>
+      <rdf:Description>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/onto#Fin"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="http://example.org/x#part_of"/>
+            <owl:someValuesFrom rdf:resource="http://example.org/onto#Body"/>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </rdf:Description>
+    </owl:equivalentClass>
+  </owl:Class>
+  <rdf:Description rdf:about="http://example.org/x#fin1">
+    <rdf:type rdf:resource="http://example.org/onto#Fin"/>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/x#fin1">
+    <x:part_of xmlns:x="http://example.org/x#"
+               rdf:resource="http://example.org/x#body1"/>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+TTL_TWIN = """
+@prefix : <http://example.org/onto#> .
+@prefix ex: <http://example.org/x#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+:Fin a owl:Class ;
+     rdfs:subClassOf [ a owl:Restriction ; owl:onProperty ex:part_of ;
+                       owl:someValuesFrom :Body ] ;
+     rdfs:subClassOf :Appendage ;
+     rdfs:label "the fin"@en ;
+     rdfs:comment "n=1"^^<http://www.w3.org/2001/XMLSchema#string> ;
+     owl:disjointWith :Body .
+ex:part_of a owl:ObjectProperty ;
+     rdfs:subPropertyOf ex:overlaps ;
+     owl:propertyChainAxiom ( ex:part_of ex:part_of ) .
+:FinPart a owl:Class ;
+     owl:equivalentClass [ owl:intersectionOf ( :Fin
+        [ a owl:Restriction ; owl:onProperty ex:part_of ;
+          owl:someValuesFrom :Body ] ) ] .
+ex:fin1 a :Fin .
+ex:fin1 ex:part_of ex:body1 .
+"""
+
+
+def test_rdfxml_matches_turtle_rows():
+    got = sorted(r[1:] for r in rdfxml.parse_document(OWN_RDFXML, src="x"))
+    want = sorted(r[1:] for r in ttl.parse_document(TTL_TWIN, src="x"))
+    assert got == want
+
+
+def test_rdfxml_axiom_shapes():
+    rows = rdfxml.parse_document(OWN_RDFXML, src="r")
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[1], []).append(r)
+    assert ("r", "declaration", EX + "Fin", None, "Class") in rows
+    assert ("r", "declaration", X + "part_of", None, "ObjectProperty") in rows
+    subs = {(r[2], r[4]) for r in by_kind["subclass_of"]}
+    assert (EX + "Fin", f"ObjectSomeValuesFrom({X}part_of {EX}Body)") in subs
+    chain = by_kind["property_chain"][0]
+    assert chain[2] == f"{X}part_of {X}part_of" and chain[4] == X + "part_of"
+    anns = {(r[3], r[4]) for r in by_kind["annotation"]}
+    assert ("http://www.w3.org/2000/01/rdf-schema#label", "the fin") in anns
+    assert ("http://www.w3.org/2000/01/rdf-schema#comment", "n=1") in anns
+    eq = by_kind["equivalent_classes"][0][4]
+    assert eq.startswith("ObjectIntersectionOf(")
+
+
+def test_rdfxml_parse_type_resource_and_base():
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://b.org/onto">
+  <owl:Class rdf:ID="Local">
+    <rdfs:subClassOf rdf:parseType="Resource">
+      <owl:onProperty rdf:resource="http://b.org/p"/>
+      <owl:someValuesFrom rdf:resource="http://b.org/F"/>
+    </rdfs:subClassOf>
+  </owl:Class>
+</rdf:RDF>
+"""
+    rows = rdfxml.parse_document(doc, src="b")
+    subs = [r for r in rows if r[1] == "subclass_of"]
+    assert subs == [(
+        "b", "subclass_of", "http://b.org/onto#Local", None,
+        "ObjectSomeValuesFrom(http://b.org/p http://b.org/F)",
+    )]
+
+
+def test_rdfxml_malformed_raises():
+    with pytest.raises(rdfxml.RdfXmlParseError):
+        rdfxml.parse_document("<not closed", src="z")
+
+
+def test_read_rdfxml_spark(spark, tmp_path):
+    d = tmp_path / "owl"
+    d.mkdir()
+    (d / "one.owl").write_text(OWN_RDFXML)
+    df = rdfxml.read_rdfxml(spark, str(d))
+    rows = df.collect()
+    assert df.columns == ["src", "kind", "s", "p", "o"]
+    assert ("declaration", EX + "Fin") in {(r["kind"], r["s"]) for r in rows}
