@@ -437,9 +437,23 @@ def jaccard_similarity(
     query_profiles: DataFrame,
     corpus_profiles: DataFrame,
     closure: DataFrame,
+    hub_bits: int | None = None,
 ) -> DataFrame:
     """J10 — |anc(q) ∩ anc(c)| / |anc(q) ∪ anc(c)| over indirect
-    association sets (OWLsim.scala:289-293)."""
+    association sets (OWLsim.scala:289-293).
+
+    Same hub-skew hazard as the MICA join (every association set contains
+    the root, so its key carries the full |queries| x |corpus| product) and
+    the same cure, adapted to COUNTING: the ``hub_bits`` most
+    corpus-frequent nodes become per-profile bitmasks, and a pair's hub
+    intersection count is ``bit_count(mask & mask2)`` over the explicitly
+    tiled compact-mask product (which already covers every pair, since
+    every profile contains the root); rare nodes keep a skew-bounded,
+    co-partitioned equi-join whose per-pair counts ADD to the hub count.
+    ``hub_bits=None`` auto-selects like :func:`pairwise_scores`; 0 = the
+    plain single-join plan. Results are identical for any setting —
+    intersection cardinality is a sum over the disjoint hub/rare node sets
+    (asserted by tests/test_similarity.py)."""
     qi = indirect_associations(
         query_profiles.select("individual", "phenotype"), closure
     ).select(F.col("individual").alias("query"), F.col("node"))
@@ -448,11 +462,65 @@ def jaccard_similarity(
     ).select(F.col("individual").alias("corpus"), F.col("node"))
     q_sizes = qi.groupBy("query").agg(F.countDistinct("node").alias("n_q"))
     c_sizes = ci.groupBy("corpus").agg(F.countDistinct("node").alias("n_c"))
-    inter = (
-        qi.join(ci, on="node")
-        .groupBy("query", "corpus")
-        .agg(F.countDistinct("node").alias("n_common"))
-    )
+    if hub_bits is None:
+        n_q = query_profiles.count()
+        n_c = corpus_profiles.count()
+        hub_bits = 0 if n_q * n_c <= AUTO_HUB_PRODUCT_THRESHOLD else 62
+    if not 0 <= hub_bits <= 62:
+        raise ValueError(f"hub_bits must be in [0, 62], got {hub_bits}")
+    if hub_bits == 0:
+        inter = (
+            qi.join(ci, on="node")
+            .groupBy("query", "corpus")
+            .agg(F.countDistinct("node").alias("n_common"))
+        )
+    else:
+        spark = qi.sparkSession
+        hubs = [
+            r["node"]
+            for r in ci.groupBy("node").count()
+            .orderBy(F.desc("count"), F.asc("node")).limit(hub_bits).collect()
+        ]
+        hub_pos = F.broadcast(
+            spark.createDataFrame(
+                [(h, i) for i, h in enumerate(hubs)], ["node", "hub_pos"]
+            )
+        )
+
+        def masks(side, key):
+            m = (
+                side.join(hub_pos, on="node")
+                .groupBy(key)
+                .agg(F.expr("bit_or(shiftleft(1L, hub_pos))").alias("mask"))
+            )
+            # profiles with no hub node still pair: default mask 0
+            all_ids = side.select(key).dropDuplicates()
+            return all_ids.join(m, on=key, how="left").fillna(0, subset=["mask"])
+
+        par = spark.sparkContext.defaultParallelism
+        q_masks = masks(qi, "query").repartition(par)
+        c_masks = (
+            masks(ci, "corpus").withColumnRenamed("mask", "mask2")
+            .repartition(max(1, par // 8))
+        )
+        rare_q = qi.where(~F.col("node").isin(hubs)).repartition(par, "node")
+        rare_c = ci.where(~F.col("node").isin(hubs)).repartition(par, "node")
+        rare_inter = (
+            rare_q.join(rare_c, on="node")
+            .groupBy("query", "corpus")
+            .agg(F.count("*").alias("n_rare"))
+        )
+        inter = (
+            q_masks.crossJoin(c_masks)
+            .withColumn("n_hub", F.expr("bit_count(mask & mask2)"))
+            .join(rare_inter, on=["query", "corpus"], how="left")
+            .select(
+                "query",
+                "corpus",
+                (F.col("n_hub") + F.coalesce(F.col("n_rare"), F.lit(0))).alias("n_common"),
+            )
+            .where(F.col("n_common") > 0)  # plain plan emits only co-occurring pairs
+        )
     return (
         inter.join(q_sizes, on="query")
         .join(c_sizes, on="corpus")

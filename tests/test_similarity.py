@@ -322,3 +322,22 @@ def test_pairwise_simple_path_matches_encoded(spark):
         for r in similarity.pairwise_scores(q, c, cl, ic_df).collect()
     }
     assert auto == simple
+
+
+def test_jaccard_hub_blocking_exactness(spark):
+    """Blocked Jaccard (hub bitmask counts + rare co-partitioned equi-join)
+    equals the plain single-join plan for every hub_bits setting."""
+    prof_df, cl = _skewed_case(spark)
+    q = prof_df.where(prof_df["individual"].startswith("GENE"))
+    c = prof_df.where(prof_df["individual"].startswith("VTO"))
+
+    def rows(hub_bits):
+        return {
+            (r["query"], r["corpus"], round(r["jaccard"], 12))
+            for r in similarity.jaccard_similarity(q, c, cl, hub_bits=hub_bits).collect()
+        }
+
+    plain = rows(0)
+    assert plain
+    for bits in (1, 4, 62):
+        assert rows(bits) == plain, f"hub_bits={bits} diverged"
