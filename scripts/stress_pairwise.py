@@ -131,6 +131,14 @@ def main() -> None:
         "rare_join_hist": rare_hist,
         "parallelism": spark.sparkContext.defaultParallelism,
     }
+
+    if "--jaccard" in sys.argv:
+        t0 = time.monotonic()
+        n_jac = similarity.jaccard_similarity(q, c, cl, hub_bits=min(hub_bits, 62) or 62).count()
+        jw = time.monotonic() - t0
+        out["jaccard_pairs"] = n_jac
+        out["jaccard_wall_sec"] = round(jw, 1)
+        out["jaccard_pairs_per_sec"] = round(n_jac / jw)
     print(json.dumps(out))
 
 
