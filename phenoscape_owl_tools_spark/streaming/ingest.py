@@ -297,6 +297,15 @@ def run_incremental_closure(
     (the parquet-dir analog of an Iceberg snapshot commit; in production
     these are table snapshots and the pointer is the catalog). Returns the
     final snapshot path.
+
+    Write amplification: each batch rewrites the FULL closure (snapshot
+    isolation with no delta files). Compute cost is incremental; write
+    cost is O(closure) per batch. At closure sizes where that dominates,
+    the Iceberg-backed deployment writes the batch's NEW entailments as a
+    delta file into the same table (merge-on-read) and compacts on a
+    schedule — the call sites here are the snapshot-mode reference
+    implementation, chosen because a parquet-dir pointer swap is the
+    strongest atomicity available without a table format.
     """
     import os
 
