@@ -212,6 +212,7 @@ def incremental_mixed_main(
     from pyspark.sql import functions as F
 
     from phenoscape_owl_tools_spark.operators.closure import (
+        incremental_closure_apply,
         incremental_closure_delete,
         incremental_closure_update,
         transitive_closure,
@@ -277,6 +278,11 @@ def incremental_mixed_main(
     t_inc = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    fused = incremental_closure_apply(before, asserted, deleted, inserted)
+    n_fused = fused.count()
+    t_fused = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     scratch = transitive_closure(
         asserted.join(deleted, on=["sub", "sup"], how="left_anti")
         .unionByName(inserted)
@@ -285,6 +291,8 @@ def incremental_mixed_main(
     t_scr = time.perf_counter() - t0
     identical = (
         got.exceptAll(scratch).isEmpty() and scratch.exceptAll(got).isEmpty()
+        and n_fused == n_scr
+        and fused.exceptAll(scratch).isEmpty()
     )
     print(json.dumps({
         "job": "mixed incremental closure (delete %d + insert %d, %s)"
@@ -292,8 +300,10 @@ def incremental_mixed_main(
         "closure_rows_before": before.count(),
         "closure_rows_after": n_inc,
         "incremental_sec": round(t_inc, 2),
+        "fused_sec": round(t_fused, 2),
         "scratch_sec": round(t_scr, 2),
         "speedup": round(t_scr / t_inc, 2),
+        "fused_speedup": round(t_scr / t_fused, 2),
         "identical": identical,
         "scratch_rows": n_scr,
     }))

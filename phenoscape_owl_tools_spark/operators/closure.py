@@ -580,3 +580,152 @@ def incremental_closure_delete(
         targets = barrier(targets.join(new, on=["sub", "sup"], how="left_anti"),
                           "targets")
     raise RuntimeError("rederivation did not converge")
+
+
+def incremental_closure_apply(
+    closure: DataFrame,
+    asserted_edges: DataFrame,
+    deleted_edges: DataFrame,
+    inserted_edges: DataFrame,
+    restrictions: DataFrame | None = None,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """FUSED mixed-batch maintenance: closure((asserted − deleted) ∪
+    inserted) in one overdelete pass + ONE combined rederive/insert loop.
+
+    The sequential recipe (:func:`incremental_closure_delete` then
+    :func:`incremental_closure_update`) pays two full fixpoint loops and
+    re-derives the insert seed against the already-updated closure; here
+    the rederivation rule (endpoint-constrained ``targets ⨝ R ⨝ R`` +
+    one-step base membership — never all-pairs R∘R) and the insertion
+    delta rule (``delta∘R ∪ R∘delta``) run in the SAME loop over one
+    growing accumulator, so each round's new facts — whether rederived or
+    insert-derived — immediately feed both rules. Correctness: every
+    added fact has a derivation from the new base (both rules only join
+    against facts already proven), and every fact of the true closure is
+    reached (insert-derived chains by the semi-naive argument; rederivable
+    overdeleted facts by iterating the target-constrained bridge until no
+    round adds anything). Result equals the from-scratch closure of the
+    mutated graph — asserted by the randomized mixed-batch test.
+    """
+    from phenoscape_owl_tools_spark.iterbarrier import IterationBarrier
+
+    barrier = IterationBarrier("closure_apply", adaptive_width=True)
+    old = barrier(_edges(closure).dropDuplicates(), "closure")
+    deleted = _edges(deleted_edges).dropDuplicates()
+    fresh = _edges(inserted_edges).dropDuplicates()
+    surviving = (
+        _edges(asserted_edges).dropDuplicates()
+        .join(deleted, on=["sub", "sup"], how="left_anti")
+    )
+    base_full = barrier(surviving.unionByName(fresh).dropDuplicates(), "base")
+
+    if restrictions is not None:
+        r1 = barrier(
+            restrictions.select(
+                F.col("prop").alias("r_prop"),
+                F.col("filler").alias("r_filler"),
+                F.col("iri").alias("r_iri"),
+            ),
+            "restrictions",
+        )
+
+    def mono(delta: DataFrame) -> DataFrame | None:
+        return None if restrictions is None else _monotonicity_rule(delta, r1)
+
+    def compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.alias("x").join(b.alias("y"), F.col("x.sup") == F.col("y.sub"))
+            .select(F.col("x.sub").alias("sub"), F.col("y.sup").alias("sup"))
+        )
+
+    # ---- phase 1: overdelete (identical to incremental_closure_delete) ----
+    over = barrier(deleted.join(old, on=["sub", "sup"], how="leftsemi"), "over")
+    delta = over
+    for _ in range(max_iterations):
+        if delta.isEmpty():
+            break
+        step = compose(delta, old).unionByName(compose(old, delta))
+        m = mono(delta)
+        if m is not None:
+            step = step.unionByName(m)
+        delta = barrier(
+            step.dropDuplicates()
+            .join(old, on=["sub", "sup"], how="leftsemi")
+            .join(over, on=["sub", "sup"], how="left_anti"),
+            "over_delta",
+        )
+        over = over.unionByName(delta)
+    else:
+        raise RuntimeError("overdeletion did not converge")
+
+    R = barrier(old.join(over, on=["sub", "sup"], how="left_anti"), "rem")
+    targets = barrier(over.join(R, on=["sub", "sup"], how="left_anti"), "targets")
+
+    # ---- phase 2: combined rederive + insert fixpoint ----
+    # one-time insert seed bridged through the remainder (facts needing
+    # overdeleted bridges arrive later through the loop once rederived)
+    seed = (
+        fresh.unionByName(compose(R, fresh))
+        .unionByName(compose(fresh, R))
+        .unionByName(compose(compose(R, fresh), R))
+    )
+    m = mono(fresh)
+    if m is not None:
+        seed = seed.unionByName(m)
+    delta = barrier(
+        seed.where(F.col("sub") != F.col("sup"))
+        .dropDuplicates()
+        .join(R, on=["sub", "sup"], how="left_anti"),
+        "delta",
+    )
+    targets_live = not targets.isEmpty()
+    COMPACT_EVERY = 8
+    for it in range(max_iterations):
+        grow = delta
+        if targets_live:
+            bridged = (
+                targets.alias("t")
+                .join(R.alias("x"), F.col("t.sub") == F.col("x.sub"))
+                .join(
+                    R.alias("y"),
+                    (F.col("x.sup") == F.col("y.sub"))
+                    & (F.col("y.sup") == F.col("t.sup")),
+                )
+                .select(F.col("t.sub").alias("sub"), F.col("t.sup").alias("sup"))
+            )
+            cand = base_full.join(targets, on=["sub", "sup"], how="leftsemi") \
+                .unionByName(bridged)
+            mR = mono(R)
+            if mR is not None:
+                cand = cand.unionByName(
+                    mR.join(targets, on=["sub", "sup"], how="leftsemi")
+                )
+            grow = grow.unionByName(cand)
+        grow = barrier(
+            grow.where(F.col("sub") != F.col("sup"))
+            .dropDuplicates()
+            .join(R, on=["sub", "sup"], how="left_anti"),
+            "grow",
+        )
+        if grow.isEmpty():
+            return R
+        R = R.unionByName(grow)
+        if (it + 1) % COMPACT_EVERY == 0:
+            R = barrier.materialize(R, "rem")
+        if targets_live:
+            targets = barrier(
+                targets.join(grow, on=["sub", "sup"], how="left_anti"), "targets"
+            )
+            targets_live = not targets.isEmpty()
+        step = compose(grow, R).unionByName(compose(R, grow))
+        m = mono(grow)
+        if m is not None:
+            step = step.unionByName(m)
+        delta = barrier(
+            step.where(F.col("sub") != F.col("sup"))
+            .dropDuplicates()
+            .join(R, on=["sub", "sup"], how="left_anti"),
+            "delta",
+        )
+    raise RuntimeError("fused maintenance did not converge")

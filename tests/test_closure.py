@@ -312,3 +312,74 @@ def test_mixed_batch_randomized_equals_scratch(spark):
         final_edges = (set(edges) - deleted) | inserted
         want = pyoracle.transitive_closure(final_edges)
         assert {(r["sub"], r["sup"]) for r in got.collect()} == want, seed
+
+
+def test_fused_apply_randomized_equals_scratch(spark):
+    """incremental_closure_apply (ONE overdelete pass + ONE combined
+    rederive/insert loop) == from-scratch closure of the mutated graph ==
+    the sequential delete-then-update recipe, on seeded random DAGs."""
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        nodes = [f"f{i}" for i in range(40)]
+        edges = set()
+        for i in range(1, 40):
+            for _ in range(rng.randrange(1, 3)):
+                edges.add((nodes[i], nodes[rng.randrange(i)]))
+        edges = sorted(edges)
+        deleted = set(rng.sample(edges, 5))
+        inserted = set()
+        while len(inserted) < 5:
+            i = rng.randrange(1, 40)
+            cand = (nodes[i], nodes[rng.randrange(i)])
+            if cand not in edges or cand in deleted:
+                inserted.add(cand)
+        asserted = _edges_df(spark, edges)
+        before = closure.transitive_closure(asserted)
+        got = closure.incremental_closure_apply(
+            before, asserted, _edges_df(spark, deleted), _edges_df(spark, inserted)
+        )
+        final_edges = (set(edges) - deleted) | inserted
+        want = pyoracle.transitive_closure(final_edges)
+        assert {(r["sub"], r["sup"]) for r in got.collect()} == want, seed
+
+
+def test_fused_apply_with_restrictions(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    restrictions = spark.createDataFrame(
+        [(f"r_{x}", "p", x) for x in "abcd"], ["iri", "prop", "filler"]
+    )
+    asserted = spark.createDataFrame(edges, ["sub", "sup"])
+    before = closure.transitive_closure(asserted, restrictions=restrictions)
+    got = closure.incremental_closure_apply(
+        before, asserted,
+        spark.createDataFrame([("b", "c")], ["sub", "sup"]),      # delete
+        spark.createDataFrame([("b", "d")], ["sub", "sup"]),      # insert
+        restrictions=restrictions,
+    )
+    want = closure.transitive_closure(
+        spark.createDataFrame([("a", "b"), ("c", "d"), ("b", "d")], ["sub", "sup"]),
+        restrictions=restrictions,
+    )
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in want.collect()})
+
+
+def test_fused_apply_insert_only_and_delete_only(spark):
+    """Degenerate batches: empty delete == pure insert semantics; empty
+    insert == pure DRed semantics."""
+    edges = [("a", "b"), ("b", "c")]
+    asserted = _edges_df(spark, edges)
+    before = closure.transitive_closure(asserted)
+    empty = spark.createDataFrame([], "sub string, sup string")
+    ins = closure.incremental_closure_apply(
+        before, asserted, empty, _edges_df(spark, [("c", "d")])
+    )
+    assert {tuple(r) for r in ins.collect()} == pyoracle.transitive_closure(
+        set(edges) | {("c", "d")}
+    )
+    dele = closure.incremental_closure_apply(
+        before, asserted, _edges_df(spark, [("b", "c")]), empty
+    )
+    assert {tuple(r) for r in dele.collect()} == pyoracle.transitive_closure(
+        {("a", "b")}
+    )
