@@ -136,8 +136,15 @@ def global_rank(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame
     """Deterministic 1-based global rank over ``order_cols`` (ascending),
     without a single-task global sort: range-partition, rank locally per
     sorted range, offset by per-range counts (a dimension-scale collect).
-    The result is identical for any partition-boundary placement, so
-    sampling nondeterminism in ``repartitionByRange`` cannot change ranks.
+
+    ``repartitionByRange`` picks boundaries by SAMPLING with a seed derived
+    from the RDD id, so two executions of the same lazy plan can place rows
+    in different ranges. Ranks are only correct if the per-range counts and
+    the local ranks come from the SAME placement — therefore the ranged
+    frame is materialized (``localCheckpoint``) FIRST, the counts are
+    collected from that frozen frame, and the returned ranks derive from it
+    too. Without this, a re-executed caller saw offsets from one placement
+    applied to local ranks of another (duplicate/out-of-range ranks).
 
     Input must be duplicate-free on ``order_cols`` (ranks are then a total
     order). Dimension-scale driver cost: one count per range (<= 64 rows).
@@ -147,7 +154,7 @@ def global_rank(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame
         n_ranges, *[F.col(c) for c in order_cols]
     ).withColumn("_rid", F.spark_partition_id())
     w = Window.partitionBy("_rid").orderBy(*[F.asc(c) for c in order_cols])
-    local = ranged.withColumn("_lr", F.row_number().over(w))
+    local = ranged.withColumn("_lr", F.row_number().over(w)).localCheckpoint(eager=True)
     counts = {r["_rid"]: r["count"] for r in local.groupBy("_rid").count().collect()}
     offsets, acc = {}, 0
     for rid in sorted(counts):
@@ -210,9 +217,9 @@ def _encoded_inputs(
     query annotations, ranked ancestors) are broadcast for encode/decode —
     they are ontology/profile-owner scale, orders of magnitude smaller than
     the pair product."""
-    ranked = global_rank(ic.select("node", "ic"), ["ic", "node"], "rid").localCheckpoint(
-        eager=True
-    )
+    # global_rank materializes its ranged frame internally, so ranked/qd/cd/pd_
+    # are frozen mappings: encode and decode see identical rank assignments.
+    ranked = global_rank(ic.select("node", "ic"), ["ic", "node"], "rid")
     qd = global_rank(q_anc.select("query").dropDuplicates(), ["query"], "qid")
     cd = global_rank(c_anc.select("corpus").dropDuplicates(), ["corpus"], "cid")
     pd_ = global_rank(q_anc.select("qa").dropDuplicates(), ["qa"], "pid")
@@ -579,9 +586,10 @@ def shard_queries(
     owner. A bare ``Window.orderBy`` computes that in ONE task (a global
     sort bottleneck); instead the owners are range-partitioned, ranked
     locally per sorted range, and offset by the per-range counts (a
-    dimension-scale collect) — the distributed textbook global rank. The
-    result is identical for any partition-boundary placement, so sampling
-    nondeterminism in ``repartitionByRange`` cannot change assignments.
+    dimension-scale collect) — the distributed textbook global rank.
+    ``global_rank`` materializes the ranged frame before counting, so one
+    frozen placement defines both counts and local ranks and re-executions
+    of the returned frame cannot reshuffle assignments.
     """
     if not (0 <= shard < n_shards):
         raise ValueError(f"shard {shard} out of range [0, {n_shards})")

@@ -341,3 +341,43 @@ def test_jaccard_hub_blocking_exactness(spark):
     assert plain
     for bits in (1, 4, 62):
         assert rows(bits) == plain, f"hub_bits={bits} diverged"
+
+
+def test_global_rank_stable_across_reexecutions(spark):
+    """ADVICE r3 (high): repartitionByRange samples boundaries with an
+    RDD-id-derived seed, so re-executing a lazy global_rank plan used to
+    apply offsets from one placement to local ranks of another — on 200k
+    keys that emitted thousands of duplicate ranks and max rank > N.
+    global_rank now freezes the ranged frame before counting; every
+    re-execution of the returned frame must yield the SAME bijection
+    onto 1..N."""
+    import pyspark.sql.functions as F
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), F.format_string("%07d", (F.col("id") * 48271) % 9999991)).alias("k")
+    ).dropDuplicates()
+    n_distinct = df.count()
+    ranked = similarity.global_rank(df, ["k"], "r")
+    runs = []
+    for _ in range(3):  # separate actions => separate executions of the plan
+        agg = ranked.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("r").alias("nd"),
+            F.min("r").alias("mn"),
+            F.max("r").alias("mx"),
+        ).collect()[0]
+        runs.append(tuple(agg))
+        assert agg["n"] == n_distinct
+        assert agg["nd"] == n_distinct, "duplicate ranks across re-execution"
+        assert agg["mn"] == 1 and agg["mx"] == n_distinct, "ranks not a 1..N bijection"
+    assert len(set(runs)) == 1
+    # the mapping itself is frozen: key->rank identical across executions
+    a = {r["k"]: r["r"] for r in ranked.sample(0.002, seed=7).collect()}
+    b = dict(
+        (r["k"], r["r"])
+        for r in ranked.join(
+            spark.createDataFrame([(k,) for k in a], ["k"]), on="k", how="leftsemi"
+        ).collect()
+    )
+    assert a == {k: b[k] for k in a}
