@@ -16,16 +16,19 @@ this module covers the language subset its shipped queries actually use
   (applies to the following path element, including its modifier),
 - ``FILTER`` with ``isIRI(?v)``, ``regex(?v, "pat"[, "flags"])``,
   comparisons ``?v OP term`` (``= != < <= > >=``; term = var, IRI, number,
-  or string — numeric RHS compares numerically), ``!`` negation, and
-  ``&&`` conjunction (``||`` is not supported — split into UNION arms),
-- ``OPTIONAL { ... }``, ``{ ... } UNION { ... }`` (one level — no nesting
-  inside OPTIONAL/UNION groups). Group algebra LIMITATIONS: at most ONE
-  UNION block per group (a second would equi-join on columns an earlier
-  arm may leave null, silently dropping solutions — rejected at parse
-  time), and OPTIONAL groups are evaluated AFTER the basic patterns and
-  the UNION block regardless of textual order (left-associative SPARQL
-  group ordering is not reproduced; for the supported single-UNION,
-  OPTIONAL-anywhere shape the results coincide),
+  or string — numeric RHS compares numerically), ``!`` negation, ``&&``
+  conjunction and ``||`` disjunction with spec precedence (``&&`` binds
+  tighter) and parenthesized sub-expressions. A FILTER referencing a
+  variable no pattern in scope binds raises (strict — a typo'd var must
+  not silently return unfiltered rows),
+- ``OPTIONAL { ... }`` (nests: an OPTIONAL may contain its own OPTIONAL
+  groups, any depth), ``{ ... } UNION { ... }`` — multiple UNION blocks
+  per group supported (the solver distributes the join over the blocks'
+  arm product so no join ever sees a null key); an OPTIONAL or UNION
+  inside a UNION arm is still rejected. Group algebra LIMITATION:
+  OPTIONAL groups are evaluated AFTER the basic patterns and UNION blocks
+  regardless of textual order (left-associative SPARQL group ordering is
+  not reproduced; for BGP+UNION+OPTIONAL shapes the results coincide),
 - ``FROM <graph>`` (ignored — the input DataFrame IS the graph),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
   ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
@@ -102,23 +105,37 @@ class Filter:
     kinds: ``isiri`` (var matches absolute-IRI regex), ``regex``
     (rhs = pattern, flags = regex flags, 'i' supported), ``cmp``
     (var OP rhs; rhs_kind 'num' compares numerically via a double cast,
-    'var' compares against another binding, else string comparison)."""
+    'var' compares against another binding, else string comparison),
+    ``and`` / ``or`` (boolean combinations of ``kids`` — a disjunction is a
+    plain Column OR over the SAME solution frame, never a UNION rewrite)."""
 
-    kind: str  # 'isiri' | 'regex' | 'cmp'
+    kind: str  # 'isiri' | 'regex' | 'cmp' | 'and' | 'or'
     var: str
     neg: bool = False
     op: str = ""          # cmp: '=' '!=' '<' '<=' '>' '>='
     rhs: str = ""         # cmp: value/var name; regex: pattern
     rhs_kind: str = ""    # cmp: 'var' | 'num' | 'str' | 'iri'
     flags: str = ""       # regex flags
+    kids: tuple["Filter", ...] = ()  # and/or: sub-expressions
 
     @property
     def vars(self) -> tuple[str, ...]:
+        if self.kind in ("and", "or"):
+            seen: dict[str, None] = {}
+            for k in self.kids:
+                for v in k.vars:
+                    seen[v] = None
+            return tuple(seen)
         if self.kind == "cmp" and self.rhs_kind == "var":
             return (self.var, self.rhs)
         return (self.var,)
 
     def column(self):
+        if self.kind in ("and", "or"):
+            cond = self.kids[0].column()
+            for k in self.kids[1:]:
+                cond = (cond & k.column()) if self.kind == "and" else (cond | k.column())
+            return ~cond if self.neg else cond
         c = F.col(self.var)
         if self.kind == "isiri":
             cond = c.rlike(_IS_IRI_RE)
@@ -289,24 +306,35 @@ class _Parser:
             raise ValueError("SPARQL parse: variables not allowed inside paths")
         return PathNode("iri", iri=t.value)
 
-    def group(self) -> tuple[list[Pattern], list[str], list, list]:
-        """Parse { ... } into (patterns, isIRI-filter vars, optionals,
-        unions). OPTIONAL / UNION sub-groups may contain only basic
-        patterns and FILTER(isIRI) (no nesting)."""
+    def group(self) -> tuple[list[Pattern], list, list, list]:
+        """Parse { ... } into (patterns, filters, optionals, unions).
+
+        OPTIONAL groups nest: each optionals entry is
+        ``(patterns, filters, sub_optionals)`` where sub_optionals is the
+        same shape recursively (``OPTIONAL { .. OPTIONAL { .. } }``).
+        UNION arms stay flat (patterns, filters) — an OPTIONAL or UNION
+        inside a UNION arm is still rejected. Multiple UNION blocks per
+        group are supported: the solver distributes the join over the
+        blocks' arm product, so every join stays an equi-join on
+        genuinely-bound vars (no null keys)."""
         self.expect("{")
         patterns: list[Pattern] = []
-        filters: list[str] = []
-        optionals: list[list[Pattern]] = []
-        unions: list[list[list[Pattern]]] = []
+        filters: list[Filter] = []
+        optionals: list[tuple] = []
+        unions: list[list[tuple[list[Pattern], list[Filter]]]] = []
         def subgroup(kind: str):
             sub_p, sub_f, sub_o, sub_u = self.group()
-            if sub_o or sub_u:
-                raise ValueError("SPARQL parse: nested OPTIONAL/UNION unsupported")
+            if sub_u:
+                raise ValueError(f"SPARQL parse: UNION nested in {kind} unsupported")
+            if sub_o and kind == "UNION":
+                raise ValueError("SPARQL parse: OPTIONAL inside a UNION arm unsupported")
             if not sub_p:
                 raise ValueError(f"SPARQL parse: empty {kind} group")
             # sub-group filters stay WITH the group: applied to its own
             # solutions before the join, so an OPTIONAL's filter cannot
             # discard outer rows (SPARQL filter scope)
+            if kind == "OPTIONAL":
+                return sub_p, sub_f, sub_o
             return sub_p, sub_f
 
         while self.peek() is not None and self.peek() != "}":
@@ -323,13 +351,6 @@ class _Parser:
                     arms.append(subgroup("UNION"))
                 if len(arms) < 2:
                     raise ValueError("SPARQL parse: bare group braces need UNION")
-                if unions:
-                    raise ValueError(
-                        "SPARQL parse: multiple UNION blocks in one group are "
-                        "unsupported (a second block would join on columns an "
-                        "earlier arm may leave null) — combine the arms into "
-                        "one UNION or split the query"
-                    )
                 unions.append(arms)
                 if self.peek() == ".":
                     self.next()
@@ -348,24 +369,33 @@ class _Parser:
         return patterns, filters, optionals, unions
 
     def _filter_constraint(self) -> list[Filter]:
-        """After the FILTER keyword: ``(expr [&& expr]*)`` or a bare
-        function call ``regex(..)`` / ``isIRI(..)``. Each ``&&`` conjunct
-        becomes its own Filter (conjunction = the filter list). ``||`` is
-        rejected with guidance."""
+        """After the FILTER keyword: ``(expr)`` with full ``&&``/``||``
+        boolean structure (``&&`` binds tighter than ``||``, per the SPARQL
+        grammar), or a bare function call ``regex(..)`` / ``isIRI(..)``.
+        A top-level conjunction is flattened into the filter list (each
+        conjunct its own Filter); a disjunction stays one ``or`` Filter."""
         if self.peek() == "(":
             self.next()
-            out = [self._filter_expr()]
-            while self.peek() == "&&":
-                self.next()
-                out.append(self._filter_expr())
-            if self.peek() == "||":
-                raise ValueError(
-                    "SPARQL parse: FILTER(.. || ..) unsupported — "
-                    "rewrite as { .. } UNION { .. } arms"
-                )
+            f = self._filter_or()
             self.expect(")")
-            return out
+            if f.kind == "and" and not f.neg:
+                return list(f.kids)
+            return [f]
         return [self._filter_expr()]
+
+    def _filter_or(self) -> Filter:
+        out = [self._filter_and()]
+        while self.peek() == "||":
+            self.next()
+            out.append(self._filter_and())
+        return out[0] if len(out) == 1 else Filter("or", "", kids=tuple(out))
+
+    def _filter_and(self) -> Filter:
+        out = [self._filter_expr()]
+        while self.peek() == "&&":
+            self.next()
+            out.append(self._filter_expr())
+        return out[0] if len(out) == 1 else Filter("and", "", kids=tuple(out))
 
     def _filter_var(self) -> str:
         tok = self.next()
@@ -402,9 +432,9 @@ class _Parser:
                 flags = ftok[1:-1]
             self.expect(")")
             return Filter("regex", var, neg=neg, rhs=pat[1:-1], flags=flags)
-        if self.peek() == "(":  # parenthesized sub-expression
+        if self.peek() == "(":  # parenthesized sub-expression (full &&/|| grammar)
             self.next()
-            inner = self._filter_expr()
+            inner = self._filter_or()
             self.expect(")")
             import dataclasses
 
@@ -653,12 +683,19 @@ def _join_patterns(triples: DataFrame, patterns: list,
 
 
 def _apply_filters(bound: DataFrame, filters: list | None) -> DataFrame:
-    """Apply Filter constraints whose variables are all bound. A filter
-    naming a variable no pattern binds is skipped (lenient; strict SPARQL
-    treats the unbound reference as an error that removes the row)."""
+    """Apply Filter constraints. A filter naming a variable no pattern in
+    scope binds raises — it is statically detectable and almost always a
+    typo'd query (strict SPARQL evaluates the unbound reference as an
+    error that removes every row, i.e. silently empty; silently
+    UNfiltered, the previous lenient behavior, was worse)."""
     for f in filters or []:
-        if all(v in bound.columns for v in f.vars):
-            bound = bound.where(f.column())
+        missing = [v for v in f.vars if v not in bound.columns]
+        if missing:
+            raise ValueError(
+                "SPARQL: FILTER references variable(s) not bound by any "
+                f"pattern in scope: {', '.join('?' + v for v in missing)}"
+            )
+        bound = bound.where(f.column())
     return bound
 
 
@@ -676,28 +713,47 @@ def _merge(bound: DataFrame | None, other: DataFrame, how: str = "inner") -> Dat
     return bound.join(other, on=shared, how=how)
 
 
+def _solve_optional(triples: DataFrame, opt: tuple) -> DataFrame:
+    """Solve one OPTIONAL group — its BGP + filters, then its own nested
+    OPTIONALs left-merged recursively (an inner OPTIONAL extends the
+    group's solutions; it cannot remove them)."""
+    opt_p, opt_f, sub_opts = opt
+    bound = _join_patterns(triples, opt_p, opt_f)
+    for sub in sub_opts:
+        bound = _merge(bound, _solve_optional(triples, sub), how="left")
+    return bound
+
+
 def _solve(triples: DataFrame, query: Query) -> DataFrame:
     """Join the BGP's pattern bindings into one solution frame.
 
-    Group algebra: a UNION block distributes over the join — each arm is
-    solved (with its own filters) and merged with the main solutions
-    independently, then the merged frames union (vars an arm never binds become
-    nulls = SPARQL's unbound). Joining per-arm rather than after the union
-    keeps every join an equi-join on genuinely bound vars — no null keys.
-    OPTIONAL groups left-join on their shared vars.
+    Group algebra: UNION blocks distribute over the join — Join(P, U(a1,
+    a2), U(b1, b2)) = U over the arm PRODUCT of Join(P, a_i, b_j). Each
+    combination is solved with every arm's own filters, then the
+    combinations union (vars a combination never binds become nulls =
+    SPARQL's unbound). Joining per-combination rather than after the
+    union keeps every join an equi-join on genuinely bound vars — no null
+    keys, which is why multiple blocks are safe. OPTIONAL groups (possibly
+    nested) left-join on their shared vars afterwards.
     """
-    bound = _join_patterns(triples, query.patterns) if query.patterns else None
-    for arms in query.unions or []:
-        merged = [
-            _merge(bound, _join_patterns(triples, arm_p, arm_f))
-            for arm_p, arm_f in arms
-        ]
-        u = merged[0]
-        for f in merged[1:]:
+    from itertools import product
+
+    base = _join_patterns(triples, query.patterns) if query.patterns else None
+    if query.unions:
+        combos = []
+        for arm_combo in product(*query.unions):
+            bound = base
+            for arm_p, arm_f in arm_combo:
+                bound = _merge(bound, _join_patterns(triples, arm_p, arm_f))
+            combos.append(bound)
+        u = combos[0]
+        for f in combos[1:]:
             u = u.unionByName(f, allowMissingColumns=True)
         bound = u
-    for opt_p, opt_f in query.optionals or []:
-        bound = _merge(bound, _join_patterns(triples, opt_p, opt_f), how="left")
+    else:
+        bound = base
+    for opt in query.optionals or []:
+        bound = _merge(bound, _solve_optional(triples, opt), how="left")
     assert bound is not None
     return _apply_filters(bound, query.filters)
 

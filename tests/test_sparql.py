@@ -494,12 +494,139 @@ def test_filter_iri_comparison(spark):
     assert {r["s"] for r in sparql.evaluate(t, q).collect()} == {EX + "a"}
 
 
-def test_filter_or_rejected():
+def test_filter_or(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", "x"),
+            (EX + "b", EX + "p", "y"),
+            (EX + "c", EX + "p", "z"),
+        ],
+    )
+    q = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(?o = "x" || ?o = "y") }'
+    got = {r["s"] for r in sparql.evaluate(t, q).collect()}
+    assert got == {EX + "a", EX + "b"}
+
+
+def test_filter_and_or_precedence(spark):
+    """&& binds tighter than || (SPARQL grammar): a && b || c == (a&&b) || c."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", "x"),   # matches (?o = "x" && ?s != c)
+            (EX + "c", EX + "p", "x"),   # fails the && arm, fails ?o = "z"
+            (EX + "d", EX + "p", "z"),   # matches ?o = "z"
+        ],
+    )
+    q = (f'SELECT ?s WHERE {{ ?s ?p ?o . '
+         f'FILTER(?o = "x" && ?s != <{EX}c> || ?o = "z") }}')
+    got = {r["s"] for r in sparql.evaluate(t, q).collect()}
+    assert got == {EX + "a", EX + "d"}
+
+
+def test_filter_negated_or_parens(spark):
+    """!(a || b) = De Morgan conjunction of negations."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", "x"),
+            (EX + "b", EX + "p", "y"),
+            (EX + "c", EX + "p", "z"),
+        ],
+    )
+    q = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(!(?o = "x" || ?o = "y")) }'
+    got = {r["s"] for r in sparql.evaluate(t, q).collect()}
+    assert got == {EX + "c"}
+
+
+def test_filter_parenthesized_or_within_and(spark):
+    """(a || b) && c — parens override precedence."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", "x"),
+            (EX + "b", EX + "p", "y"),
+            (EX + "a", EX + "q", "y"),
+        ],
+    )
+    q = (f'SELECT ?s ?o WHERE {{ ?s <{EX}p> ?o . '
+         f'FILTER((?o = "x" || ?o = "y") && ?s = <{EX}a>) }}')
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", "x")}
+
+
+def test_filter_unbound_var_raises(spark):
+    """A FILTER naming a variable no pattern binds is a query bug — raise,
+    never silently return unfiltered rows (ADVICE r3)."""
+    import pytest
+
+    t = _triples(spark, [(EX + "a", EX + "p", "x")])
+    q = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(?typo = "x") }'
+    with pytest.raises(ValueError, match=r"\?typo"):
+        sparql.evaluate(t, q).collect()
+
+
+def test_multiple_union_blocks(spark):
+    """Two UNION blocks in one group: join distributes over the arm
+    product — every combination contributes, no null-key joins."""
+    t = _triples(
+        spark,
+        [
+            (EX + "s1", EX + "p", EX + "o1"),
+            (EX + "s1", EX + "q", EX + "o2"),
+            (EX + "s1", EX + "r", EX + "o3"),
+            (EX + "s1", EX + "t", EX + "o4"),
+            (EX + "s2", EX + "p", EX + "o5"),
+            (EX + "s2", EX + "r", EX + "o6"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?a ?b WHERE { "
+         "{ ?s ex:p ?a . } UNION { ?s ex:q ?a . } "
+         "{ ?s ex:r ?b . } UNION { ?s ex:t ?b . } }")
+    got = {(r["s"], r["a"], r["b"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {
+        (EX + "s1", EX + "o1", EX + "o3"),
+        (EX + "s1", EX + "o1", EX + "o4"),
+        (EX + "s1", EX + "o2", EX + "o3"),
+        (EX + "s1", EX + "o2", EX + "o4"),
+        (EX + "s2", EX + "o5", EX + "o6"),
+    }
+
+
+def test_nested_optional(spark):
+    """OPTIONAL { A OPTIONAL { B } }: inner optional extends the outer
+    group's solutions without removing them; rows missing the outer group
+    keep both vars unbound."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "c", EX + "p", EX + "d"),
+            (EX + "e", EX + "p", EX + "f"),
+            (EX + "b", EX + "label", "B"),
+            (EX + "d", EX + "label", "D"),
+            (EX + "b", EX + "note", "nb"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?lab ?note WHERE { ?s ex:p ?o . "
+         "OPTIONAL { ?o ex:label ?lab . OPTIONAL { ?o ex:note ?note . } } }")
+    got = {(r["s"], r["lab"], r["note"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {
+        (EX + "a", "B", "nb"),        # both levels bound
+        (EX + "c", "D", None),        # outer bound, inner unbound
+        (EX + "e", None, None),       # outer group itself unbound
+    }
+
+
+def test_union_inside_union_arm_still_rejected():
     import pytest
 
     with pytest.raises(ValueError, match="UNION"):
         sparql.parse(
-            "SELECT ?s WHERE { ?s ?p ?o . FILTER(?o = \"x\" || ?o = \"y\") }"
+            "SELECT ?s WHERE { { ?s ?p ?o . { ?s ?p ?x . } UNION "
+            "{ ?s ?q ?x . } } UNION { ?s ?r ?o . } }"
         )
 
 
