@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import xml.etree.ElementTree as ET
 from typing import Iterator
+from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -56,11 +57,26 @@ def _qname(tag: str) -> str:
 
 
 def _resolve(base: str, ref: str) -> str:
+    """Resolve an rdf:about/rdf:resource reference against xml:base.
+
+    Absolute refs pass through; ``#frag``/empty append to the base (the
+    OWLAPI xml:base convention); other relative refs against a ``/``- or
+    ``#``-terminated base concatenate. Any remaining relative ref is
+    RFC3986-resolved with urljoin — and if no absolute IRI can be formed
+    (no usable base), that is a loud parse error, never a bare relative
+    string smuggled into the axiom frame."""
     if "://" in ref or ref.startswith("urn:"):
         return ref
     if ref.startswith("#") or not ref:
         return base + ref
-    return base + ref if base.endswith(("/", "#")) else ref
+    if base.endswith(("/", "#")):
+        return base + ref
+    resolved = urljoin(base, ref) if base else ref
+    if "://" not in resolved and not resolved.startswith("urn:"):
+        raise RdfXmlParseError(
+            f"relative reference {ref!r} with unusable xml:base {base!r}"
+        )
+    return resolved
 
 
 def _node_id(doc: _Doc, elem: ET.Element, base: str) -> str:

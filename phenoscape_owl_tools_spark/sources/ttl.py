@@ -81,22 +81,100 @@ _NT_LINE = (
 )
 
 
+def _sub_escapes(col: Column, regex: str, render) -> Column:
+    """Regex-substitute with a COMPUTED replacement, JVM-side: split the
+    string on ``regex`` (n matches -> n+1 parts), extract the n matched
+    strings, render each to its replacement, interleave back. No Python
+    UDF — all of split/regexp_extract_all/transform/zip_with are codegen
+    column expressions."""
+    parts = F.split(col, regex)
+    hits = F.regexp_extract_all(col, F.lit(regex), F.lit(0))
+    rendered = F.transform(hits, render)
+    body = F.array_join(
+        F.zip_with(
+            F.slice(parts, 1, F.size(hits)), rendered, lambda p, d: F.concat(p, d)
+        ),
+        "",
+    )
+    return F.concat(body, F.element_at(parts, -1))
+
+
+def _utf16be(hex4: Column) -> Column:
+    """4 hex digits (one UTF-16 code unit) -> the character."""
+    return F.decode(F.unhex(hex4), "UTF-16BE")
+
+
+# NUL detour: a decoded U+0000 must not collide with the backslash-parking
+# sentinel (\x00), so it rides on \x01 until after the unpark pass.
+_NUL = "\x01"
+
+_SURROGATE_PAIR_RE = r"\\u[dD][89abAB][0-9a-fA-F]{2}\\u[dD][c-fC-F][0-9a-fA-F]{2}"
+_UCHAR8_RE = r"\\U[0-9a-fA-F]{8}"
+_UCHAR4_RE = r"\\u[0-9a-fA-F]{4}"
+
+
+def _decode_numeric_escapes(col: Column) -> Column:
+    """Decode N-Triples UCHAR escapes (``\\uXXXX`` / ``\\UXXXXXXXX``,
+    grammar-required; emitted by Jena/rdflib in ASCII mode) as column
+    expressions. Must run AFTER ``\\\\`` parking (so a parked literal
+    backslash + 'u' is never mistaken for an escape) and AFTER the short
+    escapes (so a decoded backslash, ``\\u005C``, cannot re-trigger them).
+
+    Order inside: surrogate PAIRS first (two adjacent ``\\u`` units decode
+    as one UTF-16BE sequence — Jena writes astral chars this way), then
+    8-hex ``\\U`` (code points > U+FFFF become an explicit surrogate pair
+    before the UTF-16BE decode), then remaining lone 4-hex ``\\u``."""
+
+    def guard_nul(c: Column) -> Column:
+        return F.when(c == "\x00", F.lit(_NUL)).otherwise(c)
+
+    col = _sub_escapes(
+        col,
+        _SURROGATE_PAIR_RE,
+        lambda m: _utf16be(F.concat(F.substring(m, 3, 4), F.substring(m, 9, 4))),
+    )
+
+    def render_u8(m: Column) -> Column:
+        cp = F.conv(F.substring(m, 3, 8), 16, 10).cast("long")
+        off = cp - 0x10000
+        hi = F.lit(0xD800) + F.shiftright(off, 10)
+        lo = F.lit(0xDC00) + off.bitwiseAND(F.lit(0x3FF))
+        pair = F.concat(
+            F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0")
+        )
+        bmp = F.lpad(F.hex(cp), 4, "0")
+        return guard_nul(_utf16be(F.when(cp > 0xFFFF, pair).otherwise(bmp)))
+
+    col = _sub_escapes(col, _UCHAR8_RE, render_u8)
+    return _sub_escapes(
+        col, _UCHAR4_RE, lambda m: guard_nul(_utf16be(F.substring(m, 3, 4)))
+    )
+
+
 def _unescape(col: Column) -> Column:
     """N-Triples STRING_LITERAL_QUOTED unescape (exact inverse of
-    ``catalog.to_ntriples``). Escaped backslashes are parked on a sentinel
-    FIRST so ``\\\\n`` (literal backslash + n) is not mistaken for a
-    newline escape — sequential regexp passes are only a correct scan when
-    ``\\\\`` is taken out of play before the short escapes."""
+    ``catalog.to_ntriples``, plus the grammar's numeric UCHAR forms).
+    Escaped backslashes are parked on a sentinel FIRST so ``\\\\n``
+    (literal backslash + n) is not mistaken for a newline escape —
+    sequential regexp passes are only a correct scan when ``\\\\`` is
+    taken out of play before the short escapes. Numeric ``\\u``/``\\U``
+    decode is guarded behind a cheap rlike so the common no-UCHAR literal
+    pays nothing beyond the existing passes."""
     col = F.regexp_replace(col, r"\\\\", "\x00")  # regex \\\\ = 2 backslash chars
     for pat, rep in (
         (r"\\n", "\n"),
         (r"\\r", "\r"),
         (r"\\t", "\t"),
         (r"\\\"", '"'),
+        (r"\\b", "\x08"),  # remaining ECHARs: not emitted by to_ntriples,
+        (r"\\f", "\x0c"),  # but grammar-legal in external dumps
+        (r"\\'", "'"),
     ):
         col = F.regexp_replace(col, pat, rep)
+    col = F.when(col.rlike(r"\\[uU]"), _decode_numeric_escapes(col)).otherwise(col)
     # Java replaceAll replacement: "\\\\" emits one literal backslash
-    return F.regexp_replace(col, "\x00", "\\\\")
+    col = F.regexp_replace(col, "\x00", "\\\\")
+    return F.regexp_replace(col, _NUL, "\x00")
 
 
 def parse_ntriples_lines(lines: DataFrame) -> DataFrame:

@@ -134,6 +134,23 @@ def test_rdfxml_malformed_raises():
         rdfxml.parse_document("<not closed", src="z")
 
 
+def test_rdfxml_resolve_relative_refs():
+    """_resolve must never emit a non-IRI string: relative refs against a
+    path-shaped base RFC3986-resolve (urljoin); a relative ref with no
+    usable base raises instead of passing through."""
+    assert rdfxml._resolve("http://b.org/a/onto.owl", "Foo") == "http://b.org/a/Foo"
+    assert rdfxml._resolve("http://b.org/a/onto.owl", "../Foo") == "http://b.org/Foo"
+    assert rdfxml._resolve("http://b.org/onto#", "Foo") == "http://b.org/onto#Foo"
+    assert rdfxml._resolve("http://b.org/dir/", "Foo") == "http://b.org/dir/Foo"
+    assert rdfxml._resolve("http://b.org/onto", "#f") == "http://b.org/onto#f"
+    assert rdfxml._resolve("", "urn:x:y") == "urn:x:y"
+    assert rdfxml._resolve("", "http://abs.org/x") == "http://abs.org/x"
+    with pytest.raises(rdfxml.RdfXmlParseError):
+        rdfxml._resolve("", "Foo")
+    with pytest.raises(rdfxml.RdfXmlParseError):
+        rdfxml._resolve("relative-base", "Foo")
+
+
 def test_read_rdfxml_spark(spark, tmp_path):
     d = tmp_path / "owl"
     d.mkdir()

@@ -142,6 +142,31 @@ def test_ntriples_malformed_raises(spark, tmp_path):
         ttl.read_ntriples(spark, str(bad)).collect()
 
 
+def test_ntriples_numeric_escapes(spark, tmp_path):
+    """External ASCII-mode dumps (Jena/rdflib style) encode non-ASCII as
+    \\uXXXX / \\UXXXXXXXX UCHARs — required by the N-Triples grammar, never
+    emitted by our own to_ntriples. The JVM-side decode must handle: BMP
+    \\u, astral \\U (surrogate-pair synthesis), Jena-style surrogate-pair
+    \\u\\u, ECHARs \\b \\f \\', and must NOT decode a parked literal
+    backslash (\\\\u0041 is backslash + 'u0041')."""
+    p = "http://ex.org/p"
+    lines = [
+        ('<http://ex.org/bmp> <%s> "caf\\u00E9" .' % p, "café"),
+        ('<http://ex.org/ast> <%s> "\\U0001F600!" .' % p, "\U0001F600!"),
+        ('<http://ex.org/pair> <%s> "\\uD83D\\uDE00!" .' % p, "\U0001F600!"),
+        ('<http://ex.org/parked> <%s> "\\\\u0041" .' % p, "\\u0041"),
+        ('<http://ex.org/bslash> <%s> "\\u005Cn" .' % p, "\\n"),
+        ('<http://ex.org/echar> <%s> "a\\bb\\fc\\\'d" .' % p, "a\bb\fc'd"),
+        ('<http://ex.org/mixed> <%s> "t\\tab \\u0041\\u0042" .' % p, "t\tab AB"),
+        ('<http://ex.org/bmp4> <%s> "\\U00000041" .' % p, "A"),
+    ]
+    f = tmp_path / "esc.nt"
+    f.write_text("\n".join(line for line, _ in lines) + "\n")
+    got = {r["subj"]: r["obj"] for r in ttl.read_ntriples(spark, str(f)).collect()}
+    want = {line.split(">", 1)[0][1:]: val for line, val in lines}
+    assert got == want
+
+
 def test_read_turtle_spark(spark, tmp_path):
     d = tmp_path / "ont"
     d.mkdir()
