@@ -478,13 +478,7 @@ FROM allnodes a CROSS JOIN n LEFT JOIN freqs f ON a.node = f.node
 
 
 def q_pairwise_similarity(spark, sf_dir) -> DataFrame:
-    profs = _order_profiles(spark, sf_dir)
-    small = profs.where(F.col("custkey") < 120)
-    q = small.where(F.col("custkey") % 2 == 1).select("individual", "phenotype")
-    c = small.where(F.col("custkey") % 2 == 0).select("individual", "phenotype")
-    cl = _ph_closure(spark, sf_dir)
-    ic = _profile_ic(spark, sf_dir)
-    pas = similarity_op.pairwise_scores(q, c, cl, ic)
+    pas = _pair_scores(spark, sf_dir)
     med = similarity_op.groupwise_median(pas)
     return med.select(
         "query", "corpus", F.round(F.col("score") + F.lit(0.0), 6).alias("score_r")
@@ -903,13 +897,7 @@ def q_sparql_scores(spark, sf_dir) -> DataFrame:
     triples (S6 + SELECT-BGP join on the shared ?match variable)."""
     from phenoscape_owl_tools_spark import sparql as sparql_mod
 
-    profs = _order_profiles(spark, sf_dir)
-    small = profs.where(F.col("custkey") < 120)
-    q = small.where(F.col("custkey") % 2 == 1).select("individual", "phenotype")
-    c = small.where(F.col("custkey") % 2 == 0).select("individual", "phenotype")
-    cl = _ph_closure(spark, sf_dir)
-    ic = _profile_ic(spark, sf_dir)
-    pas = similarity_op.pairwise_scores(q, c, cl, ic)
+    pas = _pair_scores(spark, sf_dir)
     med = similarity_op.groupwise_median(pas).select(
         "query", "corpus", F.round(F.col("score") + F.lit(0.0), 6).alias("score")
     )
@@ -1430,6 +1418,21 @@ def _pairwise_inputs(spark, sf_dir):
     return q, c, cl, _profile_ic(spark, sf_dir)
 
 
+def _pair_scores(spark, sf_dir) -> DataFrame:
+    """Stage-memoized pairwise MICA score table: four registry queries
+    (pairwise_similarity, sparql_scores, sim_top_subsumers,
+    sim_expect_scores) all derive from this one relation — the reference
+    materializes the OWLsim score table once and every downstream step
+    reads it (OWLsim.scala:108-139 -> regression.py), so the registry gets
+    the same reuse instead of recomputing the pair product per query."""
+
+    def build():
+        q, c, cl, ic = _pairwise_inputs(spark, sf_dir)
+        return similarity_op.pairwise_scores(q, c, cl, ic)
+
+    return _stage(spark, sf_dir, "pair_scores", build)
+
+
 SQL_PAIR_ANN_CTE = f"""
 profs AS (
   SELECT DISTINCT 'http://kg.example.org/gene/' || cast(o_custkey AS varchar) AS individual,
@@ -1475,8 +1478,7 @@ pair_ann AS (
 
 
 def q_sim_top_subsumers(spark, sf_dir) -> DataFrame:
-    q, c, cl, ic = _pairwise_inputs(spark, sf_dir)
-    pas = similarity_op.pairwise_scores(q, c, cl, ic)
+    pas = _pair_scores(spark, sf_dir)
     top = similarity_op.top_subsumers(pas, k=3)
     return top.select(
         "query", "corpus", "max_subsumer",
@@ -1495,8 +1497,13 @@ FROM (
 
 
 def q_profile_jaccard(spark, sf_dir) -> DataFrame:
-    q, c, cl, _ = _pairwise_inputs(spark, sf_dir)
-    jac = similarity_op.jaccard_similarity(q, c, cl)
+    # staged for the same reason as _pair_scores: the hub-list probe
+    # inside jaccard_similarity collects once per build, not per call
+    def build():
+        q, c, cl, _ = _pairwise_inputs(spark, sf_dir)
+        return similarity_op.jaccard_similarity(q, c, cl)
+
+    jac = _stage(spark, sf_dir, "profile_jaccard", build)
     return jac.select(
         "query", "corpus", F.round(F.col("jaccard") + F.lit(0.0), 6).alias("jaccard_r")
     )
@@ -1532,7 +1539,7 @@ def q_sim_expect_scores(spark, sf_dir) -> DataFrame:
     from phenoscape_owl_tools_spark.operators import regression
 
     q, c, cl, ic = _pairwise_inputs(spark, sf_dir)
-    pas = similarity_op.pairwise_scores(q, c, cl, ic)
+    pas = _pair_scores(spark, sf_dir)
     med = similarity_op.groupwise_median(pas)
     q_sizes = q.groupBy("individual").agg(F.countDistinct("phenotype").alias("query_size"))
     c_sizes = c.groupBy("individual").agg(F.countDistinct("phenotype").alias("corpus_size"))

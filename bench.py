@@ -270,6 +270,14 @@ def incremental_mixed_main(
         F.concat(F.lit("n"), (F.col("id") % 97 + 2)).alias("sup"),
     ).localCheckpoint(eager=True)
 
+    from phenoscape_owl_tools_spark.operators.closure import (
+        choose_maintenance_strategy,
+    )
+
+    t0 = time.perf_counter()
+    choice = choose_maintenance_strategy(before, deleted)
+    t_choice = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     after_del = incremental_closure_delete(before, asserted, deleted)
     mid = after_del.localCheckpoint(eager=True)
@@ -306,6 +314,14 @@ def incremental_mixed_main(
         "fused_speedup": round(t_scr / t_fused, 2),
         "identical": identical,
         "scratch_rows": n_scr,
+        # maintain_closure auto-strategy: did the chooser pick the winner?
+        "auto_strategy": choice["strategy"],
+        "auto_depth_proxy": round(choice["depth_proxy"], 2),
+        "auto_cone_fraction": round(choice["cone_fraction"], 5),
+        "auto_probe_sec": round(t_choice, 2),
+        "auto_picked_winner": (
+            (choice["strategy"] == "incremental") == (t_fused < t_scr)
+        ),
     }))
     spark.stop()
 

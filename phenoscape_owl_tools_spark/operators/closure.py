@@ -729,3 +729,147 @@ def incremental_closure_apply(
             "delta",
         )
     raise RuntimeError("fused maintenance did not converge")
+
+
+# ---------------------------------------------------------------------------
+# Auto-strategy maintenance entry point
+# ---------------------------------------------------------------------------
+
+# Measured crossover (BENCH.md §9.2, same-boot A/Bs on 150k-1.5M node
+# graphs; every run row-identical between strategies):
+#   B-ary(10), avg ~7 reflexive ancestors/node:        incremental 0.38-0.47x
+#   deep-40, mid-graph deletes (cone ~3.5% of closure): incremental 0.67x
+#   deep-40, last-layer deletes (cone < 0.2%):          incremental 1.72x
+# The composed incremental recipe pays ~10 fixed full-closure scans
+# (overdelete/rederive semijoins + the insert seed's old-compose passes);
+# from-scratch pays one scan per semi-naive round (~ graph depth). So the
+# decision variables are the DEPTH PROXY (avg ancestors per node — a lower
+# bound on from-scratch rounds) and the OVERDELETE-CONE fraction (how much
+# of the closure the deletes can touch). Thresholds sit between the
+# measured losing and winning shapes, biased toward from-scratch: a wrong
+# 'scratch' pick costs <=2.6x (the 1.72x win forgone), a wrong
+# 'incremental' pick also bottoms out ~2.6x (0.38x) but additionally
+# doubles plan depth under restrictions — ties go to the simpler plan.
+MAINTAIN_DEPTH_THRESHOLD = 20.0
+MAINTAIN_CONE_FRACTION_THRESHOLD = 0.01
+
+
+def choose_maintenance_strategy(
+    closure: DataFrame,
+    deleted_edges: DataFrame | None = None,
+) -> dict:
+    """Pick 'incremental' vs 'scratch' for a maintenance batch from two
+    measured decision variables (see the threshold comment above):
+
+    - ``depth_proxy`` = |closure| / #distinct-subjects — average ancestors
+      per node, tracking the semi-naive round count a from-scratch
+      recompute would pay (B-ary(10): ~7; the deep-40 bench graph: ~79).
+    - ``cone_fraction`` = (Σ over deleted edges (u,v) of
+      |descendants(u)+1| x |ancestors(v)+1|) / |closure| — an UPPER bound
+      on the overdeleted facts as a fraction of the closure (cones
+      overlap, so the true cone is <= this; conservative toward scratch).
+      Last-layer retractions (the continuous-ingest shape) score ~0;
+      mid-graph structural edits score the whole descendant cone.
+
+    Probe cost: two aggregate scans of the closure plus a broadcast-sized
+    join against the (batch-sized) delete set — far below the ~10 fixed
+    closure scans the incremental path itself pays, and independent of
+    graph depth. Returns a dict with the decision and both variables so
+    callers/benches can log WHY.
+    """
+    c = _edges(closure)
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("sub").alias("nodes"),
+    ).first()
+    n_closure = int(stats["n"])
+    n_nodes = max(1, int(stats["nodes"]))
+    depth_proxy = n_closure / n_nodes
+    cone = 0
+    if deleted_edges is not None and n_closure > 0:
+        d = _edges(deleted_edges).dropDuplicates()
+        # facts (a, c) derivable through deleted edge (u, v) need
+        # (a, u) and (v, c) in the closure: count closure rows per
+        # endpoint, then one broadcast join against the small batch
+        desc_u = c.groupBy(F.col("sup").alias("u")).agg(F.count(F.lit(1)).alias("du"))
+        anc_v = c.groupBy(F.col("sub").alias("v")).agg(F.count(F.lit(1)).alias("av"))
+        cone_row = (
+            d.join(desc_u, d["sub"] == F.col("u"), "left")
+            .join(anc_v, d["sup"] == F.col("v"), "left")
+            .select(
+                (
+                    (F.coalesce(F.col("du"), F.lit(0)) + 1)
+                    * (F.coalesce(F.col("av"), F.lit(0)) + 1)
+                ).alias("cone")
+            )
+            .agg(F.sum("cone").alias("s"))
+            .first()
+        )
+        cone = int(cone_row["s"] or 0)
+    cone_fraction = cone / n_closure if n_closure else 1.0
+    strategy = (
+        "incremental"
+        if depth_proxy >= MAINTAIN_DEPTH_THRESHOLD
+        and cone_fraction <= MAINTAIN_CONE_FRACTION_THRESHOLD
+        else "scratch"
+    )
+    return {
+        "strategy": strategy,
+        "depth_proxy": depth_proxy,
+        "cone_fraction": cone_fraction,
+        "closure_rows": n_closure,
+        "cone_upper_bound": cone,
+    }
+
+
+def maintain_closure(
+    closure: DataFrame,
+    asserted_edges: DataFrame,
+    deleted_edges: DataFrame | None = None,
+    inserted_edges: DataFrame | None = None,
+    restrictions: DataFrame | None = None,
+    max_iterations: int = 100,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Single maintenance entry point: closure((asserted − deleted) ∪
+    inserted), auto-selecting :func:`incremental_closure_apply` vs a
+    from-scratch :func:`transitive_closure` from measured decision
+    variables (:func:`choose_maintenance_strategy` — BENCH §9.2's
+    crossover, encoded). ``strategy`` forces 'incremental' or 'scratch'.
+
+    The reference re-materializes from scratch unconditionally
+    (MaterializeInferences.scala:44-57, its only mode); this picks the
+    from-scratch plan only when the batch shape says recompute actually
+    wins (shallow graphs, structural deletes) and otherwise maintains
+    incrementally (deep graphs, recent-ingest retractions — the
+    continuous-ingest shape at 10^12-doc scale). Both paths produce
+    bit-identical closures (randomized equivalence tests).
+    """
+    spark = closure.sparkSession
+    empty = spark.createDataFrame([], "sub string, sup string")
+    deleted = _edges(deleted_edges) if deleted_edges is not None else empty
+    inserted = _edges(inserted_edges) if inserted_edges is not None else empty
+    if deleted.isEmpty() and inserted.isEmpty():
+        return _edges(closure)
+    if strategy is None:
+        strategy = choose_maintenance_strategy(closure, deleted)["strategy"]
+    if strategy == "incremental":
+        return incremental_closure_apply(
+            closure,
+            asserted_edges,
+            deleted,
+            inserted,
+            restrictions=restrictions,
+            max_iterations=max_iterations,
+        )
+    if strategy != "scratch":
+        raise ValueError(f"unknown maintenance strategy {strategy!r}")
+    mutated = (
+        _edges(asserted_edges)
+        .dropDuplicates()
+        .join(deleted, on=["sub", "sup"], how="left_anti")
+        .unionByName(inserted)
+    )
+    return transitive_closure(
+        mutated, restrictions=restrictions, max_iterations=max_iterations
+    )

@@ -383,3 +383,129 @@ def test_fused_apply_insert_only_and_delete_only(spark):
     assert {tuple(r) for r in dele.collect()} == pyoracle.transitive_closure(
         {("a", "b")}
     )
+
+
+_DEEP = {"width": 8, "layers": 60}
+_deep_closure_cache: dict[int, object] = {}
+
+
+def _deep_graph():
+    """Layered DAG: node (l, w) -> parent (l-1, w). Depth = layers,
+    independent of width — the BENCH §9.2 'deep' shape at test scale
+    (avg ancestors/node ~= layers/2 = 30 >= the 20 threshold)."""
+    return [
+        (f"d{l}_{w}", f"d{l - 1}_{w}")
+        for l in range(1, _DEEP["layers"])
+        for w in range(_DEEP["width"])
+    ]
+
+
+def _deep_closure(spark):
+    """The deep graph's closure, computed once per session (two chooser
+    tests probe the same frame; the fixpoint is the expensive part)."""
+    key = id(spark)
+    if key not in _deep_closure_cache:
+        df = closure.transitive_closure(_edges_df(spark, _deep_graph()))
+        _deep_closure_cache[key] = df.localCheckpoint(eager=True)
+    return _deep_closure_cache[key]
+
+
+def test_choose_strategy_bary_picks_scratch(spark):
+    """Shallow branching DAG (avg ancestors ~3 << 20): recompute wins
+    (BENCH §9.2 measured 0.38-0.47x for incremental) — chooser says so."""
+    edges = [(f"b{i}", f"b{i // 10}") for i in range(1, 600)]
+    before = closure.transitive_closure(_edges_df(spark, edges))
+    deleted = _edges_df(spark, [("b599", "b59")])
+    got = closure.choose_maintenance_strategy(before, deleted)
+    assert got["strategy"] == "scratch"
+    assert got["depth_proxy"] < closure.MAINTAIN_DEPTH_THRESHOLD
+
+
+def test_choose_strategy_deep_recent_picks_incremental(spark):
+    """Deep layered DAG + bottom-layer retraction (the continuous-ingest
+    shape, BENCH §9.2 measured 1.72x win): chooser picks incremental."""
+    last = _DEEP["layers"] - 1
+    deleted = _edges_df(spark, [(f"d{last}_0", f"d{last - 1}_0")])  # no cone
+    got = closure.choose_maintenance_strategy(_deep_closure(spark), deleted)
+    assert got["strategy"] == "incremental", got
+    assert got["depth_proxy"] >= closure.MAINTAIN_DEPTH_THRESHOLD
+    assert got["cone_fraction"] <= closure.MAINTAIN_CONE_FRACTION_THRESHOLD
+
+
+def test_choose_strategy_deep_structural_picks_scratch(spark):
+    """Same deep graph, but MID-GRAPH structural deletes drag a whole
+    descendant cone through overdelete/rederive (measured 0.67x): the
+    cone probe overrides the depth signal."""
+    mid = _DEEP["layers"] // 2
+    deleted = _edges_df(
+        spark, [(f"d{mid}_{w}", f"d{mid - 1}_{w}") for w in range(_DEEP["width"])]
+    )
+    got = closure.choose_maintenance_strategy(_deep_closure(spark), deleted)
+    assert got["strategy"] == "scratch", got
+    assert got["cone_fraction"] > closure.MAINTAIN_CONE_FRACTION_THRESHOLD
+
+
+def test_maintain_closure_auto_randomized_equals_scratch(spark):
+    """The auto entry point == from-scratch closure of the mutated graph
+    on seeded random DAGs, whatever strategy it picks — and both FORCED
+    strategies agree too (bit-identical maintenance guarantee)."""
+    for seed in (7, 31):
+        rng = random.Random(seed)
+        nodes = [f"a{i}" for i in range(40)]
+        edges = set()
+        for i in range(1, 40):
+            for _ in range(rng.randrange(1, 3)):
+                edges.add((nodes[i], nodes[rng.randrange(i)]))
+        edges = sorted(edges)
+        deleted = set(rng.sample(edges, 5))
+        inserted = set()
+        while len(inserted) < 5:
+            i = rng.randrange(1, 40)
+            cand = (nodes[i], nodes[rng.randrange(i)])
+            if cand not in edges or cand in deleted:
+                inserted.add(cand)
+        asserted = _edges_df(spark, edges)
+        before = closure.transitive_closure(asserted)
+        want = pyoracle.transitive_closure((set(edges) - deleted) | inserted)
+        for strategy in (None, "incremental", "scratch"):
+            got = closure.maintain_closure(
+                before,
+                asserted,
+                _edges_df(spark, deleted),
+                _edges_df(spark, inserted),
+                strategy=strategy,
+            )
+            assert {(r["sub"], r["sup"]) for r in got.collect()} == want, (
+                seed,
+                strategy,
+            )
+
+
+def test_maintain_closure_empty_batch_is_identity(spark):
+    edges = [("a", "b"), ("b", "c")]
+    before = closure.transitive_closure(_edges_df(spark, edges))
+    got = closure.maintain_closure(before, _edges_df(spark, edges))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in before.collect()
+    }
+
+
+def test_maintain_closure_with_restrictions_auto(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    restrictions = spark.createDataFrame(
+        [(f"r_{x}", "p", x) for x in "abcd"], ["iri", "prop", "filler"]
+    )
+    asserted = _edges_df(spark, edges)
+    before = closure.transitive_closure(asserted, restrictions=restrictions)
+    got = closure.maintain_closure(
+        before,
+        asserted,
+        _edges_df(spark, [("b", "c")]),
+        _edges_df(spark, [("b", "d")]),
+        restrictions=restrictions,
+    )
+    want = closure.transitive_closure(
+        _edges_df(spark, [("a", "b"), ("c", "d"), ("b", "d")]),
+        restrictions=restrictions,
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
