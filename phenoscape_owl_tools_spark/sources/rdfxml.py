@@ -18,11 +18,16 @@ Supported RDF/XML subset (the OWLAPI-emitted shapes):
   engine's literal convention),
 - ``rdf:parseType="Collection"`` (RDF lists), ``rdf:parseType="Resource"``
   (implicit blank node),
-- ``xml:base`` resolution for relative ``rdf:about``/``rdf:ID``.
+- containers: ``rdf:li`` expands to ``rdf:_1, rdf:_2, ...`` per
+  containing element (``rdf:Bag``/``Seq``/``Alt`` are ordinary typed
+  nodes),
+- ``xml:base`` resolution for relative ``rdf:about``/``rdf:ID``
+  (RFC3986 urljoin for path-relative refs; a relative ref with no usable
+  base raises).
 
-Not supported (raises ``RdfXmlParseError``): ``rdf:li``/containers,
-reification attributes (``rdf:bagID``), property attributes on node
-elements other than rdf:* (rare in OWLAPI output).
+Not supported (raises ``RdfXmlParseError``): reification attributes
+(``rdf:bagID``), property attributes on node elements other than rdf:*
+(rare in OWLAPI output).
 
 Spark shape: one Arrow batch per file inside ``mapInPandas`` — a
 directory of ontology files parses fully in parallel, executor-side
@@ -92,6 +97,21 @@ def _node_id(doc: _Doc, elem: ET.Element, base: str) -> str:
     return doc.fresh_bnode()
 
 
+def _parse_props(doc: _Doc, subj: str, children, base: str) -> None:
+    """Property elements of one node, expanding ``rdf:li`` to the ordinal
+    membership properties ``rdf:_1, rdf:_2, ...`` in document order (the
+    container expansion of the RDF/XML spec §7.4 — the counter is per
+    containing element). ``rdf:Bag``/``Seq``/``Alt`` need nothing special:
+    they are ordinary typed node elements."""
+    li = 0
+    for ch in children:
+        if _qname(ch.tag) == RDF + "li":
+            li += 1
+            _parse_property(doc, subj, ch, base, pred=f"{RDF}_{li}")
+        else:
+            _parse_property(doc, subj, ch, base)
+
+
 def _parse_node(doc: _Doc, elem: ET.Element, base: str) -> str:
     """One node element -> subject id; emits its type + property triples."""
     base = elem.get(f"{{{XML_NS}}}base", base)
@@ -99,14 +119,15 @@ def _parse_node(doc: _Doc, elem: ET.Element, base: str) -> str:
     tag_iri = _qname(elem.tag)
     if tag_iri != RDF + "Description":
         doc.triples.append((subj, RDF + "type", tag_iri, True))
-    for prop in elem:
-        _parse_property(doc, subj, prop, base)
+    _parse_props(doc, subj, list(elem), base)
     return subj
 
 
-def _parse_property(doc: _Doc, subj: str, prop: ET.Element, base: str) -> None:
-    pred = _qname(prop.tag)
-    if pred == RDF + "li" or prop.get(f"{{{RDF}}}bagID") is not None:
+def _parse_property(
+    doc: _Doc, subj: str, prop: ET.Element, base: str, pred: str | None = None
+) -> None:
+    pred = pred or _qname(prop.tag)
+    if prop.get(f"{{{RDF}}}bagID") is not None:
         raise RdfXmlParseError(f"unsupported RDF/XML feature at {pred}")
     parse_type = prop.get(f"{{{RDF}}}parseType")
     resource = prop.get(f"{{{RDF}}}resource")
@@ -124,8 +145,7 @@ def _parse_property(doc: _Doc, subj: str, prop: ET.Element, base: str) -> None:
         return
     if parse_type == "Resource":
         inner = doc.fresh_bnode()
-        for ch in children:
-            _parse_property(doc, inner, ch, base)
+        _parse_props(doc, inner, children, base)
         doc.triples.append((subj, pred, inner, True))
         return
     if parse_type is not None:
