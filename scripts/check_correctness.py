@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import glob
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -30,20 +31,37 @@ def norm(df):
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    keys_filter = None
+    json_out = None
+    for i, a in enumerate(sys.argv):
+        if a == "--keys":
+            keys_filter = set(sys.argv[i + 1].split(","))
+        if a == "--json":
+            json_out = sys.argv[i + 1]
     spark = get_spark(app_name="check-correctness")
     con = duckdb.connect()
     for p in glob.glob(f"{sf}/*.parquet"):
         t = Path(p).stem
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if keys_filter is not None:
+        missing = keys_filter - set(queries)
+        if missing:
+            raise SystemExit(f"unknown keys: {sorted(missing)}")
+        queries = {k: v for k, v in queries.items() if k in keys_filter}
     bad = []
+    report: dict[str, dict] = {}
     for key, fn in queries.items():
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf).toPandas()
             sql = oracles.get(key)
             if sql is None:
                 print(f"{key:28s} rows={len(sdf)} (rows-only, no oracle)")
+                report[key] = {"rows": len(sdf), "oracle": None,
+                               "sec": round(time.perf_counter() - t0, 1)}
                 continue
             odf = con.execute(sql).df()
             a, b = norm(sdf), norm(odf)
@@ -59,13 +77,25 @@ def main() -> None:
                         ok = ok and (a[c].astype(str) == b[c].astype(str)).all()
             status = "OK" if ok else "MISMATCH"
             print(f"{key:28s} rows={len(a)}/{len(b)} {status}")
+            report[key] = {
+                "spark_rows": len(a), "oracle_rows": len(b), "match": bool(ok),
+                "sec": round(time.perf_counter() - t0, 1),
+            }
             if not ok:
                 bad.append(key)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             print(f"{key:28s} ERROR {type(exc).__name__}: {exc}")
+            report[key] = {"error": f"{type(exc).__name__}: {exc}"}
             bad.append(key)
     print(f"\n{len(queries) - len(bad)}/{len(queries)} green"
           + (f"; FAILED: {bad}" if bad else ""))
+    if json_out:
+        import json as _json
+
+        Path(json_out).write_text(_json.dumps(
+            {"sf_dir": sf, "checked": len(queries), "failed": bad,
+             "results": report}, indent=1))
+        print(f"wrote {json_out}")
     spark.stop()
     if bad:
         raise SystemExit(1)
