@@ -44,7 +44,9 @@ def main() -> None:
     con = duckdb.connect()
     for p in glob.glob(f"{sf}/*.parquet"):
         t = Path(p).stem
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # make_sf.py writes Spark parquet DIRECTORIES; driver testdata are files
+        src = f"{p}/*.parquet" if Path(p).is_dir() else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     queries, oracles = entry.queries(), entry.oracle_sql()
     if keys_filter is not None:
         missing = keys_filter - set(queries)
