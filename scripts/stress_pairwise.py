@@ -152,11 +152,22 @@ def main() -> None:
         # top-20 don't recompute the MICA join.
         from phenoscape_owl_tools_spark.operators import regression
 
+        import shutil
+        import tempfile
+
         par = spark.sparkContext.defaultParallelism
+        # Materialize to PARQUET, not localCheckpoint: the pair table is
+        # ~4x10^8 rows of string IRIs — caching it in executor storage
+        # memory OOMs a single 128 GiB node (measured), while the columnar
+        # dictionary-encoded file is a few GB and every downstream stage
+        # scans it in parallel. This is also what the reference does:
+        # OWLsim WRITES the score table and phase 2 reads it back.
+        pas_dir = tempfile.mkdtemp(prefix="phase2_pas_")
         t0 = time.monotonic()
-        pas = similarity.pairwise_scores(
-            q, c, cl, ic, hub_bits=hub_bits
-        ).localCheckpoint(eager=True)
+        similarity.pairwise_scores(q, c, cl, ic, hub_bits=hub_bits).write.mode(
+            "overwrite"
+        ).parquet(pas_dir)
+        pas = spark.read.parquet(pas_dir)
         t_pas = time.monotonic() - t0
 
         # the window/agg stages hash-partition on the pair key — histogram
@@ -165,7 +176,9 @@ def main() -> None:
         window_hist = partition_histogram(pas.repartition(par, "query", "corpus"))
 
         t0 = time.monotonic()
-        med = similarity.groupwise_median(pas).localCheckpoint(eager=True)
+        med_dir = tempfile.mkdtemp(prefix="phase2_med_")
+        similarity.groupwise_median(pas).write.mode("overwrite").parquet(med_dir)
+        med = spark.read.parquet(med_dir)
         t_med = time.monotonic() - t0
 
         t0 = time.monotonic()
@@ -189,7 +202,13 @@ def main() -> None:
         t_exp = time.monotonic() - t0
 
         t0 = time.monotonic()
-        n_triples = similarity.score_triples(med).count()
+        # agg over the columns forces the sha2/concat projection to actually
+        # evaluate — a bare count() lets Catalyst prune the expressions away
+        tri = similarity.score_triples(med)
+        row = tri.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.length("subj")).alias("_force")
+        ).first()
+        n_triples = row["n"]
         t_tri = time.monotonic() - t0
 
         out["phase2"] = {
@@ -206,6 +225,8 @@ def main() -> None:
             "total_sec": round(t_pas + t_med + t_top + t_exp + t_tri, 1),
             "window_stage_hist": window_hist,
         }
+        shutil.rmtree(pas_dir, ignore_errors=True)
+        shutil.rmtree(med_dir, ignore_errors=True)
     print(json.dumps(out))
 
 
