@@ -24,8 +24,9 @@ this module covers the language subset its shipped queries actually use
 - ``OPTIONAL { ... }`` (nests: an OPTIONAL may contain its own OPTIONAL
   groups, any depth), ``{ ... } UNION { ... }`` — multiple UNION blocks
   per group supported (the solver distributes the join over the blocks'
-  arm product so no join ever sees a null key); an OPTIONAL or UNION
-  inside a UNION arm is still rejected. Group algebra LIMITATION:
+  arm product so no join ever sees a null key); a UNION arm may carry
+  its own (nested) OPTIONAL groups — only a UNION nested inside another
+  UNION arm is rejected. Group algebra LIMITATION:
   OPTIONAL groups are evaluated AFTER the basic patterns and UNION blocks
   regardless of textual order (left-associative SPARQL group ordering is
   not reproduced; for BGP+UNION+OPTIONAL shapes the results coincide),
@@ -167,9 +168,10 @@ class Query:
     delete_template: list[tuple[Term, Term, Term]] | None = None
     insert_template: list[tuple[Term, Term, Term]] | None = None
     # group algebra: OPTIONAL {..} groups (left-joined on shared vars) and
-    # {..} UNION {..} blocks (each a list of arms)
-    optionals: list[list[Pattern]] | None = None
-    unions: list[list[list[Pattern]]] | None = None
+    # {..} UNION {..} blocks (each a list of arms); every group/arm is a
+    # (patterns, filters, sub_optionals) tuple — see _Parser.group
+    optionals: list[tuple] | None = None
+    unions: list[list[tuple]] | None = None
 
     @property
     def iri_filters(self) -> list[str]:
@@ -312,30 +314,27 @@ class _Parser:
         OPTIONAL groups nest: each optionals entry is
         ``(patterns, filters, sub_optionals)`` where sub_optionals is the
         same shape recursively (``OPTIONAL { .. OPTIONAL { .. } }``).
-        UNION arms stay flat (patterns, filters) — an OPTIONAL or UNION
-        inside a UNION arm is still rejected. Multiple UNION blocks per
-        group are supported: the solver distributes the join over the
-        blocks' arm product, so every join stays an equi-join on
-        genuinely-bound vars (no null keys)."""
+        UNION arms are ``(patterns, filters, optionals)`` — an arm may
+        carry its own (nested) OPTIONAL groups; only a UNION nested
+        inside another UNION arm is still rejected. Multiple UNION
+        blocks per group are supported: the solver distributes the join
+        over the blocks' arm product, so every join stays an equi-join
+        on genuinely-bound vars (no null keys)."""
         self.expect("{")
         patterns: list[Pattern] = []
         filters: list[Filter] = []
         optionals: list[tuple] = []
-        unions: list[list[tuple[list[Pattern], list[Filter]]]] = []
+        unions: list[list[tuple]] = []
         def subgroup(kind: str):
             sub_p, sub_f, sub_o, sub_u = self.group()
             if sub_u:
                 raise ValueError(f"SPARQL parse: UNION nested in {kind} unsupported")
-            if sub_o and kind == "UNION":
-                raise ValueError("SPARQL parse: OPTIONAL inside a UNION arm unsupported")
             if not sub_p:
                 raise ValueError(f"SPARQL parse: empty {kind} group")
             # sub-group filters stay WITH the group: applied to its own
             # solutions before the join, so an OPTIONAL's filter cannot
             # discard outer rows (SPARQL filter scope)
-            if kind == "OPTIONAL":
-                return sub_p, sub_f, sub_o
-            return sub_p, sub_f
+            return sub_p, sub_f, sub_o
 
         while self.peek() is not None and self.peek() != "}":
             if self.peek().lower() == "optional":
@@ -743,8 +742,11 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
         combos = []
         for arm_combo in product(*query.unions):
             bound = base
-            for arm_p, arm_f in arm_combo:
-                bound = _merge(bound, _join_patterns(triples, arm_p, arm_f))
+            for arm in arm_combo:
+                # an arm has the same (patterns, filters, optionals) shape
+                # as an OPTIONAL group — its own optionals left-merge into
+                # the arm's solutions BEFORE the arm joins the base
+                bound = _merge(bound, _solve_optional(triples, arm))
             combos.append(bound)
         u = combos[0]
         for f in combos[1:]:

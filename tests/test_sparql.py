@@ -635,3 +635,25 @@ def test_comment_hash_inside_regex_string():
         'SELECT ?s WHERE { ?s ?p ?o . FILTER regex(?o, "tag#[0-9]+") }'
     )
     assert q.filters[0].rhs == "tag#[0-9]+"
+
+
+def test_optional_inside_union_arm(spark):
+    """A UNION arm may carry its own OPTIONAL group: the optional extends
+    that arm's solutions only; the other arm is unaffected."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "o1"),
+            (EX + "b", EX + "q", EX + "o2"),
+            (EX + "o1", EX + "label", "O1"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?s ?o ?lab WHERE { "
+         "{ ?s ex:p ?o . OPTIONAL { ?o ex:label ?lab . } } "
+         "UNION { ?s ex:q ?o . } }")
+    got = {(r["s"], r["o"], r["lab"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {
+        (EX + "a", EX + "o1", "O1"),
+        (EX + "b", EX + "o2", None),
+    }
