@@ -36,6 +36,7 @@ directory of ontology files parses fully in parallel, executor-side
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from typing import Iterator
 from urllib.parse import urljoin
@@ -44,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .ofn import AXIOM_SCHEMA
-from .ttl import OWL, RDF, _Doc, document_axiom_rows
+from .ttl import OWL, RDF, RDFS, _Doc, document_axiom_rows
 
 XML_NS = "http://www.w3.org/XML/1998/namespace"
 
@@ -211,3 +212,169 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(parse, schema=AXIOM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Writer: axiom frame -> RDF/XML document (round-trips the reader).
+# Completes the serialization matrix: readers cover .ofn/.ttl/.nt/.owl, and
+# with this, so do the writers (ofn.write_ofn, ttl.write_turtle,
+# catalog.to_ntriples, rdfxml.write_rdfxml). The reference emits RDF/XML
+# through OWLAPI's default renderer (KnowledgeBaseBuilder.scala's saved
+# ontologies are .owl files); this renderer produces the same element
+# shapes the reader above consumes (typed node elements, rdf:resource
+# object attributes, parseType="Collection" lists, nested owl:Restriction
+# blank nodes).
+# ---------------------------------------------------------------------------
+
+_DECL_TYPE_ELEM = {
+    "Class": f"{{{OWL}}}Class",
+    "ObjectProperty": f"{{{OWL}}}ObjectProperty",
+    "DataProperty": f"{{{OWL}}}DatatypeProperty",
+    "AnnotationProperty": f"{{{OWL}}}AnnotationProperty",
+    "NamedIndividual": f"{{{OWL}}}NamedIndividual",
+}
+
+# longest NCName suffix of a predicate IRI — the element local name; the
+# remainder is its namespace (ns + local always re-concatenates to the IRI,
+# so ANY valid split point round-trips through _qname()).
+_NCNAME_SUFFIX = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _pred_tag(iri: str) -> str:
+    m = _NCNAME_SUFFIX.search(iri)
+    if not m or m.start() == 0:
+        raise RdfXmlParseError(
+            f"predicate IRI {iri!r} has no NCName suffix usable as an XML "
+            f"element name — cannot serialize to RDF/XML"
+        )
+    return f"{{{iri[: m.start()]}}}{iri[m.start():]}"
+
+
+def _rx_prop(parent: ET.Element, pred_iri: str, obj_expr: str) -> None:
+    """Append a property element for an object that is a class/property
+    expression or a named IRI (named -> rdf:resource attribute; expression
+    -> nested node element)."""
+    prop = ET.SubElement(parent, _pred_tag(pred_iri))
+    from .ofn import _CTOR_RE
+
+    if _CTOR_RE.match(obj_expr):
+        prop.append(_rx_node(obj_expr))
+    else:
+        prop.set(f"{{{RDF}}}resource", obj_expr)
+
+
+def _rx_collection(parent: ET.Element, pred_iri: str, items: list[str]) -> None:
+    prop = ET.SubElement(parent, _pred_tag(pred_iri))
+    prop.set(f"{{{RDF}}}parseType", "Collection")
+    for item in items:
+        prop.append(_rx_node(item))
+
+
+def _rx_node(expr: str) -> ET.Element:
+    """Canonical expression string -> RDF/XML node element. Named IRIs
+    become ``<rdf:Description rdf:about=.../>``; constructed expressions
+    become blank node elements (``<owl:Restriction>...`` etc.), nesting
+    naturally — the exact shapes ``_parse_node`` consumes."""
+    from .ofn import _CTOR_RE, _split_args
+
+    m = _CTOR_RE.match(expr)
+    if not m:
+        el = ET.Element(f"{{{RDF}}}Description")
+        el.set(f"{{{RDF}}}about", expr)
+        return el
+    ctor, body = m.group(1), m.group(2)
+    args = _split_args(body) if body else []
+    if ctor in ("ObjectSomeValuesFrom", "ObjectAllValuesFrom", "ObjectHasValue"):
+        el = ET.Element(f"{{{OWL}}}Restriction")
+        _rx_prop(el, OWL + "onProperty", args[0])
+        filler = {
+            "ObjectSomeValuesFrom": "someValuesFrom",
+            "ObjectAllValuesFrom": "allValuesFrom",
+            "ObjectHasValue": "hasValue",
+        }[ctor]
+        _rx_prop(el, OWL + filler, args[1])
+        return el
+    el = ET.Element(f"{{{RDF}}}Description")
+    if ctor == "ObjectComplementOf":
+        _rx_prop(el, OWL + "complementOf", args[0])
+    elif ctor == "ObjectInverseOf":
+        _rx_prop(el, OWL + "inverseOf", args[0])
+    elif ctor == "ObjectIntersectionOf":
+        _rx_collection(el, OWL + "intersectionOf", args)
+    elif ctor == "ObjectUnionOf":
+        _rx_collection(el, OWL + "unionOf", args)
+    elif ctor == "ObjectOneOf":
+        _rx_collection(el, OWL + "oneOf", args)
+    else:
+        raise RdfXmlParseError(f"cannot render expression constructor {ctor!r}")
+    return el
+
+
+def _rx_subject(root: ET.Element, expr: str) -> ET.Element:
+    node = _rx_node(expr)
+    root.append(node)
+    return node
+
+
+def render_rdfxml_document(rows) -> str:
+    """Render axiom rows (kind, s, p, o) — or 5-tuples with a leading src —
+    to an RDF/XML document. Inverse of :func:`parse_document`:
+    ``parse_document(render_rdfxml_document(rows))`` is row-stable for
+    every kind the reader emits (parity-tested against the reference's own
+    OFN fixture, like the Turtle writer)."""
+    from .ofn import _ABS_IRI_RE
+
+    root = ET.Element(f"{{{RDF}}}RDF")
+    for row in sorted(tuple(r[1:]) if len(r) == 5 else tuple(r) for r in rows):
+        kind, s, p, o = row
+        if kind == "declaration":
+            el = ET.SubElement(root, _DECL_TYPE_ELEM[o])
+            el.set(f"{{{RDF}}}about", s)
+        elif kind == "subclass_of":
+            _rx_prop(_rx_subject(root, s), RDFS + "subClassOf", o)
+        elif kind == "equivalent_classes":
+            _rx_prop(_rx_subject(root, s), OWL + "equivalentClass", o)
+        elif kind == "disjoint_classes":
+            _rx_prop(_rx_subject(root, s), OWL + "disjointWith", o)
+        elif kind == "sub_object_property":
+            _rx_prop(_rx_subject(root, s), RDFS + "subPropertyOf", o)
+        elif kind == "property_chain":
+            _rx_collection(
+                _rx_subject(root, o), OWL + "propertyChainAxiom", s.split(" ")
+            )
+        elif kind == "annotation":
+            node = _rx_subject(root, s)
+            if _ABS_IRI_RE.match(o) and " " not in o and '"' not in o:
+                _rx_prop(node, p, o)
+            else:
+                ET.SubElement(node, _pred_tag(p)).text = o
+        elif kind == "class_assertion":
+            _rx_prop(_rx_subject(root, s), RDF + "type", o)
+        elif kind == "object_property_assertion":
+            _rx_prop(_rx_subject(root, s), p, o)
+        else:
+            raise RdfXmlParseError(f"cannot render axiom kind {kind!r}")
+    ET.register_namespace("rdf", RDF)
+    ET.register_namespace("rdfs", RDFS)
+    ET.register_namespace("owl", OWL)
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+def write_rdfxml(axioms: DataFrame, path: str) -> None:
+    """Write an axiom frame as one RDF/XML file (driver-side collect — an
+    ontology/TBox is dimension-scale; fact-scale triple exports go through
+    ``catalog.to_ntriples``). Guarded like ``ofn.write_ofn``."""
+    from .ofn import WRITE_OFN_MAX_ROWS
+
+    n = axioms.count()
+    if n > WRITE_OFN_MAX_ROWS:
+        raise ValueError(
+            f"write_rdfxml: {n} axiom rows exceeds the driver-collect guard "
+            f"({WRITE_OFN_MAX_ROWS}) — export via catalog.to_ntriples instead"
+        )
+    rows = [
+        (r["kind"], r["s"], r["p"], r["o"])
+        for r in axioms.select("kind", "s", "p", "o").collect()
+    ]
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(render_rdfxml_document(rows))

@@ -194,11 +194,11 @@ def cmd_homology_table_to_owl(args: list[str]) -> None:
 
 
 def cmd_convert_ontology(args: list[str]) -> None:
-    """convert-ontology <in:.ofn|.ttl|.nt|dir> <out:parquet-dir|.ofn|.ttl>
+    """convert-ontology <in:.ofn|.ttl|.nt|dir> <out:parquet-dir|.ofn|.ttl|.owl>
 
     Any supported serialization in, normalized axiom frame
-    (src, kind, s, p, o) out; `.ofn`/`.ttl` outputs re-serialize (TBox-scale
-    driver write), anything else writes parquet (distributed)."""
+    (src, kind, s, p, o) out; `.ofn`/`.ttl`/`.owl` outputs re-serialize
+    (TBox-scale driver write), anything else writes parquet (distributed)."""
     from phenoscape_owl_tools_spark.sources import ofn, rdfxml, ttl
 
     src, out = args
@@ -218,6 +218,9 @@ def cmd_convert_ontology(args: list[str]) -> None:
         n = "document"
     elif out.endswith(".ttl"):
         ttl.write_turtle(axioms, out)
+        n = "document"
+    elif out.endswith((".owl", ".rdf")):
+        rdfxml.write_rdfxml(axioms, out)
         n = "document"
     else:
         axioms.write.mode("overwrite").parquet(out)

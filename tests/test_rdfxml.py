@@ -262,3 +262,97 @@ def test_rdfxml_obo_fixture_matches_ofn():
     want = sorted(r[1:] for r in ofn.parse_document(ofn_text, src="s"))
     assert len(got) > 300
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Writer (round 4): render_rdfxml_document / write_rdfxml
+# ---------------------------------------------------------------------------
+
+REF_OFN = "/root/reference/src/test/resources/NegationHierarchyAsserterTest.ofn"
+
+
+def _all_kinds_rows():
+    E = "http://example.org/o#"
+    return [
+        ("x", "declaration", E + "A", None, "Class"),
+        ("x", "declaration", E + "p", None, "ObjectProperty"),
+        ("x", "declaration", E + "lbl", None, "AnnotationProperty"),
+        ("x", "declaration", E + "i1", None, "NamedIndividual"),
+        ("x", "subclass_of", E + "A", None,
+         f"ObjectSomeValuesFrom(<{E}p> <{E}B>)"),
+        ("x", "subclass_of",
+         f"ObjectIntersectionOf(<{E}A> ObjectSomeValuesFrom(<{E}p> "
+         f"ObjectComplementOf(<{E}B>)))", None, E + "C"),
+        ("x", "equivalent_classes", E + "D", None,
+         f"ObjectUnionOf(<{E}A> ObjectOneOf(<{E}i1> <{E}i2>))"),
+        ("x", "disjoint_classes", E + "A", None, E + "B"),
+        ("x", "sub_object_property", E + "p", None, E + "q"),
+        ("x", "property_chain", f"{E}p {E}q", None, E + "r"),
+        ("x", "annotation", E + "A", E + "lbl",
+         'a "quoted" label\nwith newline & <angle>'),
+        ("x", "annotation", E + "A",
+         "http://purl.org/dc/elements/1.1/source", E + "B"),
+        ("x", "class_assertion", E + "i1", None, E + "A"),
+        ("x", "class_assertion", E + "i1", None,
+         f"ObjectSomeValuesFrom(<{E}p> <{E}A>)"),
+        ("x", "object_property_assertion", E + "i1", E + "p", E + "i2"),
+        ("x", "subclass_of", E + "E", None,
+         f"ObjectAllValuesFrom(ObjectInverseOf(<{E}p>) <{E}A>)"),
+        ("x", "subclass_of", E + "F", None,
+         f"ObjectHasValue(<{E}p> <{E}i1>)"),
+    ]
+
+
+def test_rdfxml_writer_roundtrips_every_kind():
+    """render_rdfxml_document is an exact inverse of parse_document for
+    every axiom kind the readers emit, including nested expressions,
+    inverse properties, chains, XML-hostile literals, and IRI-valued
+    annotations (mirrors the Turtle writer's round-trip contract)."""
+    rows = _all_kinds_rows()
+    text = rdfxml.render_rdfxml_document(rows)
+    again = rdfxml.parse_document(text, src="x")
+    assert sorted(tuple(r) for r in rows) == sorted(again)
+
+
+def test_rdfxml_writer_ofn_fixture_parity():
+    """OFN fixture -> RDF/XML -> reader reproduces the OFN reader's rows
+    exactly (same contract the Turtle writer is held to)."""
+    import os
+
+    if not os.path.exists(REF_OFN):
+        pytest.skip("reference fixture absent")
+    from phenoscape_owl_tools_spark.sources import ofn
+
+    with open(REF_OFN, encoding="utf-8") as fh:
+        rows = ofn.parse_document(fh.read(), src="x", strict=True)
+    text = rdfxml.render_rdfxml_document(rows)
+    assert sorted(rows) == sorted(rdfxml.parse_document(text, src="x"))
+
+
+def test_rdfxml_writer_pred_tag_rejects_unusable_iri():
+    with pytest.raises(rdfxml.RdfXmlParseError):
+        rdfxml._pred_tag("http://example.org/prop/")
+
+
+def test_rdfxml_writer_pred_tag_splits_at_ncname_suffix():
+    # qname(ns + local) must re-concatenate to the IRI for ANY split point;
+    # the longest NCName suffix is the local name (digits allowed inside)
+    assert rdfxml._pred_tag("http://example.org/prop123") == (
+        "{http://example.org/}prop123"
+    )
+    # a pure-digit tail cannot START an NCName — the split lands one char in
+    assert rdfxml._pred_tag("http://example.org/v1/x2") == (
+        "{http://example.org/v1/}x2"
+    )
+
+
+def test_write_rdfxml_spark_roundtrip(spark, tmp_path):
+    from phenoscape_owl_tools_spark.sources.ofn import AXIOM_SCHEMA
+
+    df = spark.createDataFrame(_all_kinds_rows(), AXIOM_SCHEMA)
+    out = tmp_path / "out.owl"
+    rdfxml.write_rdfxml(df, str(out))
+    back = rdfxml.read_rdfxml(spark, str(out))
+    assert sorted(tuple(r)[1:] for r in _all_kinds_rows()) == sorted(
+        (r["kind"], r["s"], r["p"], r["o"]) for r in back.collect()
+    )
