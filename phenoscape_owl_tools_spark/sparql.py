@@ -31,6 +31,26 @@ this module covers the language subset its shipped queries actually use
   regardless of textual order (left-associative SPARQL group ordering is
   not reproduced; for BGP+UNION+OPTIONAL shapes the results coincide),
 - ``FROM <graph>`` (ignored — the input DataFrame IS the graph),
+- SELECT-clause algebra: ``DISTINCT``/``REDUCED`` (honored —
+  ``dropDuplicates`` after projection), ``SELECT *``, projected
+  expressions ``(expr AS ?alias)``, aggregates ``COUNT(*)``,
+  ``COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT([DISTINCT] expr
+  [; SEPARATOR="s"])`` with ``GROUP BY ?v ...`` and ``HAVING(...)``
+  (one ``groupBy().agg()`` — Catalyst plans the partial aggregate);
+  deviation: the solver is set-based, so aggregates run over DISTINCT
+  solutions, not SPARQL's bag semantics,
+- solution modifiers: ``ORDER BY [ASC|DESC](?v)`` (lexicographic over the
+  string-typed store; ``ASC/DESC(xsd:double(?v))`` for numeric order),
+  ``LIMIT`` / ``OFFSET``,
+- top-level-group extensions (rejected inside OPTIONAL/UNION arms):
+  ``BIND(expr AS ?v)`` (expr: vars, literals, ``+ - * /`` over double
+  casts, ``CONCAT``, ``STR``), ``VALUES`` inline data (single- and
+  multi-var; UNDEF rejected; always broadcast), ``MINUS { BGP }``
+  (left-anti on shared vars; disjoint domains remove nothing, per spec),
+  ``FILTER [NOT] EXISTS { BGP }`` (semi-/anti-join on shared vars;
+  uncorrelated groups degrade to a non-empty probe),
+- triple patterns may use literal/numeric objects (``?m ex:group "c"``) —
+  constants over the string-typed store,
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
   ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
   — functional (the updated graph is returned), covering the reference's
@@ -70,7 +90,7 @@ _STR_RE = r'"(?:[^"\\]|\\.)*"'
 _NUM_RE = r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
 _TOKEN_RE = re.compile(
     rf"({_IRI_RE}|{_VAR_RE}|{_STR_RE}|{_NUM_RE}|!=|<=|>=|&&|\|\||"
-    rf"{_PNAME_RE}|[{{}}()./*|^+<>=!?,]|[A-Za-z_]\w*)"
+    rf"{_PNAME_RE}|[{{}}()./*|^+<>=!?,;-]|[A-Za-z_]\w*)"
 )
 # matches an absolute IRI (scheme://... or urn:-style); used for isIRI()
 _IS_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
@@ -157,6 +177,103 @@ class Filter:
         return ~cond if self.neg else cond
 
 
+@dataclass(frozen=True)
+class Expr:
+    """Scalar expression (BIND bodies, projected expressions, aggregate
+    arguments). Arithmetic casts operands to double (the triple store is
+    string-typed); ``concat``/``str`` stay string-typed.
+
+    kinds: ``var`` | ``num`` | ``str`` | ``iri`` | ``arith`` (op: + - * /)
+    | ``concat`` | ``strfn`` (STR(e) — identity over our string store,
+    accepted for query compat) | ``neg`` (unary minus)."""
+
+    kind: str
+    value: str = ""
+    op: str = ""
+    kids: tuple["Expr", ...] = ()
+
+    @property
+    def vars(self) -> tuple[str, ...]:
+        if self.kind == "var":
+            return (self.value,)
+        seen: dict[str, None] = {}
+        for k in self.kids:
+            for v in k.vars:
+                seen[v] = None
+        return tuple(seen)
+
+    def column(self):
+        if self.kind == "var":
+            return F.col(self.value)
+        if self.kind == "num":
+            return F.lit(float(self.value) if "." in self.value or "e" in self.value.lower() else int(self.value))
+        if self.kind in ("str", "iri"):
+            return F.lit(self.value)
+        if self.kind == "concat":
+            return F.concat(*[k.column().cast("string") for k in self.kids])
+        if self.kind == "strfn":
+            return self.kids[0].column().cast("string")
+        if self.kind == "neg":
+            return -self.kids[0].column().cast("double")
+        assert self.kind == "arith", self.kind
+        lhs = self.kids[0].column().cast("double")
+        rhs = self.kids[1].column().cast("double")
+        return {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs, "/": lhs / rhs}[self.op]
+
+
+@dataclass(frozen=True)
+class Aggregate:
+    """One aggregate in the SELECT projection. ``arg is None`` == COUNT(*).
+
+    Semantics note (documented deviation): the solver is set-based (each
+    pattern's bindings are distinct), so aggregates run over DISTINCT
+    solutions rather than SPARQL's bag semantics — COUNT(?v) here equals
+    COUNT(DISTINCT solution rows projecting ?v) of a strict engine."""
+
+    func: str  # 'count' | 'sum' | 'avg' | 'min' | 'max' | 'sample' | 'group_concat'
+    arg: Expr | None
+    distinct: bool
+    alias: str
+    separator: str = " "
+
+    @property
+    def vars(self) -> tuple[str, ...]:
+        return self.arg.vars if self.arg is not None else ()
+
+    def column(self):
+        if self.arg is None:  # COUNT(*)
+            return F.count(F.lit(1)).alias(self.alias)
+        c = self.arg.column()
+        if self.func == "count":
+            col = F.countDistinct(c) if self.distinct else F.count(c)
+        elif self.func == "sum":
+            c = c.cast("double")
+            col = F.sum_distinct(c) if self.distinct else F.sum(c)
+        elif self.func == "avg":
+            if self.distinct:
+                if self.arg.kind != "var":
+                    raise ValueError(
+                        "SPARQL: AVG(DISTINCT expr) supported for plain "
+                        "variables only"
+                    )
+                col = F.expr(f"avg(DISTINCT CAST(`{self.arg.value}` AS DOUBLE))")
+            else:
+                col = F.avg(c.cast("double"))
+        elif self.func == "min":
+            col = F.min(c)
+        elif self.func == "max":
+            col = F.max(c)
+        elif self.func == "sample":
+            # deterministic choice — the spec allows any member
+            col = F.min(c)
+        else:
+            assert self.func == "group_concat", self.func
+            # sort for determinism across partitionings; DISTINCT -> set
+            items = F.collect_set(c.cast("string")) if self.distinct else F.collect_list(c.cast("string"))
+            col = F.array_join(F.sort_array(items), self.separator)
+        return col.alias(self.alias)
+
+
 @dataclass
 class Query:
     form: str  # 'select' | 'construct' | 'update'
@@ -172,6 +289,23 @@ class Query:
     # (patterns, filters, sub_optionals) tuple — see _Parser.group
     optionals: list[tuple] | None = None
     unions: list[list[tuple]] | None = None
+    # SELECT-clause shape: projection items in order — ('var', name) |
+    # ('expr', Expr, alias) | ('agg', Aggregate); `projection` keeps the
+    # flat output-column-name list for compat
+    proj_items: list[tuple] | None = None
+    distinct: bool = False
+    # top-level-group extensions (parser rejects these inside
+    # OPTIONAL/UNION/MINUS/EXISTS subgroups — documented limitation)
+    binds: list[tuple[Expr, str]] | None = None          # BIND(expr AS ?v)
+    values_blocks: list[tuple[list[str], list[tuple]]] | None = None
+    minuses: list[tuple] | None = None                   # MINUS groups
+    exists_filters: list[tuple[bool, tuple]] | None = None  # (negated, group)
+    # solution modifiers
+    group_by: list[str] | None = None
+    having: list[Filter] | None = None
+    order_by: list[tuple[str, bool, bool]] | None = None  # (var, desc, numeric)
+    limit: int | None = None
+    offset: int | None = None
 
     @property
     def iri_filters(self) -> list[str]:
@@ -212,6 +346,11 @@ def _tokens(text: str) -> list[str]:
 class _Parser:
     def __init__(self, text: str):
         text = _strip_comments(text)
+        self._group_depth = 0
+        self._binds: list[tuple[Expr, str]] = []
+        self._values: list[tuple[list[str], list[tuple]]] = []
+        self._minuses: list[tuple] = []
+        self._exists: list[tuple[bool, tuple]] = []
         self.prefixes: dict[str, str] = {}
         for m in re.finditer(
             rf"(?i)\bPREFIX\s+([A-Za-z][\w-]*)?\s*:\s*<([^>]*)>", text
@@ -249,6 +388,12 @@ class _Parser:
             return Term("var", tok[1:])
         if tok == "a":
             return Term("iri", RDF_TYPE)
+        if tok.startswith('"'):
+            # literal object — a plain constant over the string-typed store
+            # (kind stays 'iri': consumers only branch on var-vs-constant)
+            return Term("iri", tok[1:-1])
+        if re.fullmatch(_NUM_RE, tok):
+            return Term("iri", tok)
         return Term("iri", self.resolve(tok))
 
     def path(self) -> PathNode | Term:
@@ -321,6 +466,8 @@ class _Parser:
         over the blocks' arm product, so every join stays an equi-join
         on genuinely-bound vars (no null keys)."""
         self.expect("{")
+        self._group_depth += 1
+        top = self._group_depth == 1
         patterns: list[Pattern] = []
         filters: list[Filter] = []
         optionals: list[tuple] = []
@@ -354,7 +501,61 @@ class _Parser:
                 if self.peek() == ".":
                     self.next()
                 continue
-            if self.peek().lower() == "filter":
+            kw = self.peek().lower()
+            if kw == "filter" and self.i + 1 < len(self.toks) and self.toks[
+                self.i + 1
+            ].lower() in ("exists", "not"):
+                if not top:
+                    raise ValueError(
+                        "SPARQL parse: FILTER EXISTS supported in the "
+                        "top-level group only"
+                    )
+                self.next()
+                negated = False
+                if self.peek().lower() == "not":
+                    self.next()
+                    negated = True
+                self.expect("exists")
+                self._exists.append((negated, self._simple_group("FILTER EXISTS")))
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if kw == "minus":
+                if not top:
+                    raise ValueError(
+                        "SPARQL parse: MINUS supported in the top-level group only"
+                    )
+                self.next()
+                self._minuses.append(self._simple_group("MINUS"))
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if kw == "bind":
+                if not top:
+                    raise ValueError(
+                        "SPARQL parse: BIND supported in the top-level group only"
+                    )
+                self.next()
+                self.expect("(")
+                expr = self._expr()
+                self.expect("as")
+                var = self._filter_var()
+                self.expect(")")
+                self._binds.append((expr, var))
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if kw == "values":
+                if not top:
+                    raise ValueError(
+                        "SPARQL parse: VALUES supported in the top-level group only"
+                    )
+                self.next()
+                self._values.append(self._values_block())
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if kw == "filter":
                 self.next()
                 filters.extend(self._filter_constraint())
             else:
@@ -365,7 +566,145 @@ class _Parser:
             if self.peek() == ".":
                 self.next()
         self.expect("}")
+        self._group_depth -= 1
         return patterns, filters, optionals, unions
+
+    def _simple_group(self, kind: str) -> tuple:
+        """A MINUS / FILTER EXISTS group: BGP + filters only."""
+        p, f, o, u = self.group()
+        if o or u:
+            raise ValueError(
+                f"SPARQL parse: OPTIONAL/UNION inside {kind} unsupported"
+            )
+        if not p:
+            raise ValueError(f"SPARQL parse: empty {kind} group")
+        return p, f
+
+    def _values_block(self) -> tuple[list[str], list[tuple]]:
+        """``VALUES ?v { t... }`` or ``VALUES (?a ?b) { (t t) ... }``.
+        UNDEF is rejected (its compatible-with-anything semantics would
+        need per-row OR joins)."""
+        def value_term() -> str:
+            tok = self.next()
+            if tok.lower() == "undef":
+                raise ValueError("SPARQL parse: UNDEF in VALUES unsupported")
+            if tok.startswith('"'):
+                return tok[1:-1]
+            if re.fullmatch(_NUM_RE, tok):
+                return tok
+            return self.resolve(tok)
+
+        if self.peek() == "(":
+            self.next()
+            names = []
+            while self.peek() != ")":
+                names.append(self._filter_var())
+            self.next()
+            self.expect("{")
+            rows = []
+            while self.peek() == "(":
+                self.next()
+                row = tuple(value_term() for _ in names)
+                self.expect(")")
+                rows.append(row)
+            self.expect("}")
+            return names, rows
+        var = self._filter_var()
+        self.expect("{")
+        rows = []
+        while self.peek() != "}":
+            rows.append((value_term(),))
+        self.expect("}")
+        return [var], rows
+
+    # -- scalar expressions (BIND bodies, projected exprs, aggregate args) --
+
+    def _expr(self) -> Expr:
+        node = self._expr_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            node = Expr("arith", op=op, kids=(node, self._expr_mul()))
+        return node
+
+    def _expr_mul(self) -> Expr:
+        node = self._expr_prim()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            node = Expr("arith", op=op, kids=(node, self._expr_prim()))
+        return node
+
+    def _expr_prim(self) -> Expr:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("SPARQL parse: unexpected end of expression")
+        if tok == "-":
+            self.next()
+            return Expr("neg", kids=(self._expr_prim(),))
+        if tok == "(":
+            self.next()
+            node = self._expr()
+            self.expect(")")
+            return node
+        low = tok.lower()
+        if low == "concat":
+            self.next()
+            self.expect("(")
+            kids = [self._expr()]
+            while self.peek() == ",":
+                self.next()
+                kids.append(self._expr())
+            self.expect(")")
+            return Expr("concat", kids=tuple(kids))
+        if low == "str":
+            self.next()
+            self.expect("(")
+            kid = self._expr()
+            self.expect(")")
+            return Expr("strfn", kids=(kid,))
+        tok = self.next()
+        if tok.startswith("?"):
+            return Expr("var", tok[1:])
+        if tok.startswith('"'):
+            return Expr("str", tok[1:-1])
+        if re.fullmatch(_NUM_RE, tok):
+            return Expr("num", tok)
+        return Expr("iri", self.resolve(tok))
+
+    _AGG_FUNCS = ("count", "sum", "avg", "min", "max", "sample", "group_concat")
+
+    def _agg_or_expr(self) -> "Aggregate | Expr":
+        """Inside a ``( ... AS ?alias )`` projection item: either an
+        aggregate call or a scalar expression (alias attached by caller)."""
+        tok = self.peek()
+        if tok is not None and tok.lower() in self._AGG_FUNCS and (
+            self.i + 1 < len(self.toks) and self.toks[self.i + 1] == "("
+        ):
+            func = self.next().lower()
+            self.expect("(")
+            distinct = False
+            if self.peek() and self.peek().lower() == "distinct":
+                self.next()
+                distinct = True
+            if func == "count" and self.peek() == "*":
+                self.next()
+                self.expect(")")
+                return Aggregate("count", None, distinct, alias="")
+            arg = self._expr()
+            separator = " "
+            if func == "group_concat" and self.peek() == ";":
+                self.next()
+                if self.peek() and self.peek().lower() == "separator":
+                    self.next()
+                    self.expect("=")
+                    sep_tok = self.next()
+                    if not sep_tok.startswith('"'):
+                        raise ValueError(
+                            "SPARQL parse: SEPARATOR needs a string literal"
+                        )
+                    separator = sep_tok[1:-1]
+            self.expect(")")
+            return Aggregate(func, arg, distinct, alias="", separator=separator)
+        return self._expr()
 
     def _filter_constraint(self) -> list[Filter]:
         """After the FILTER keyword: ``(expr)`` with full ``&&``/``||``
@@ -456,15 +795,69 @@ class _Parser:
     def parse(self) -> Query:
         form = self.next().lower()
         if form == "select":
-            projection = []
-            if self.peek() and self.peek().lower() == "distinct":
-                self.next()
-            while self.peek() and self.peek().startswith("?"):
-                projection.append(self.next()[1:])
+            distinct = False
+            star = False
+            if self.peek() and self.peek().lower() in ("distinct", "reduced"):
+                distinct = self.next().lower() == "distinct"
+            proj_items: list[tuple] = []
+            n_anon = 0
+            while True:
+                tok = self.peek()
+                if tok is None:
+                    raise ValueError("SPARQL parse: SELECT without WHERE")
+                if tok == "*":
+                    self.next()
+                    star = True
+                    continue
+                if tok.startswith("?"):
+                    proj_items.append(("var", self.next()[1:]))
+                    continue
+                if tok == "(":
+                    self.next()
+                    item = self._agg_or_expr()
+                    alias = ""
+                    if self.peek() and self.peek().lower() == "as":
+                        self.next()
+                        alias = self._filter_var()
+                    elif isinstance(item, Aggregate):
+                        n_anon += 1
+                        alias = f"agg{n_anon}"
+                    else:
+                        raise ValueError(
+                            "SPARQL parse: projected expression needs "
+                            "'AS ?alias'"
+                        )
+                    self.expect(")")
+                    if isinstance(item, Aggregate):
+                        import dataclasses
+
+                        proj_items.append(
+                            ("agg", dataclasses.replace(item, alias=alias))
+                        )
+                    else:
+                        proj_items.append(("expr", item, alias))
+                    continue
+                break
+            if star and proj_items:
+                raise ValueError("SPARQL parse: SELECT * cannot mix with items")
+            if not star and not proj_items:
+                raise ValueError("SPARQL parse: empty SELECT projection")
             self.expect("where")
             patterns, filters, optionals, unions = self.group()
+            group_by, having, order_by, limit, offset = self._modifiers()
+            projection = [
+                it[1] if it[0] == "var" else
+                (it[1].alias if it[0] == "agg" else it[2])
+                for it in proj_items
+            ]
             return Query("select", projection, [], patterns, filters,
-                         optionals=optionals, unions=unions)
+                         optionals=optionals, unions=unions,
+                         proj_items=None if star else proj_items,
+                         distinct=distinct,
+                         binds=self._binds, values_blocks=self._values,
+                         minuses=self._minuses, exists_filters=self._exists,
+                         group_by=group_by, having=having, order_by=order_by,
+                         limit=limit, offset=offset)
         if form == "construct":
             self.expect("{")
             template = []
@@ -477,11 +870,102 @@ class _Parser:
             if self.peek() and self.peek().lower() == "where":
                 self.next()
             patterns, filters, optionals, unions = self.group()
+            group_by, having, order_by, limit, offset = self._modifiers()
+            if group_by or having or order_by or offset is not None:
+                raise ValueError(
+                    "SPARQL parse: CONSTRUCT supports LIMIT only "
+                    "(GROUP BY/HAVING/ORDER BY/OFFSET have no meaning for "
+                    "an unordered graph result)"
+                )
             return Query("construct", [], template, patterns, filters,
-                         optionals=optionals, unions=unions)
+                         optionals=optionals, unions=unions,
+                         binds=self._binds, values_blocks=self._values,
+                         minuses=self._minuses, exists_filters=self._exists,
+                         limit=limit)
         if form in ("insert", "delete"):
             return self._parse_update(form)
         raise ValueError(f"SPARQL parse: unsupported query form {form!r}")
+
+    def _modifiers(self):
+        """Trailing solution modifiers: GROUP BY / HAVING / ORDER BY /
+        LIMIT / OFFSET (LIMIT and OFFSET accepted in either order)."""
+        group_by: list[str] = []
+        having: list[Filter] = []
+        order_by: list[tuple[str, bool, bool]] = []
+        limit: int | None = None
+        offset: int | None = None
+        while self.peek() is not None:
+            kw = self.peek().lower()
+            if kw == "group":
+                self.next()
+                self.expect("by")
+                while self.peek() is not None and self.peek().startswith("?"):
+                    group_by.append(self.next()[1:])
+                if not group_by:
+                    raise ValueError(
+                        "SPARQL parse: GROUP BY supports plain variables only"
+                    )
+            elif kw == "having":
+                self.next()
+                having.extend(self._filter_constraint())
+            elif kw == "order":
+                self.next()
+                self.expect("by")
+                found = False
+                while self.peek() is not None:
+                    tok = self.peek().lower()
+                    if tok in ("asc", "desc"):
+                        self.next()
+                        desc = tok == "desc"
+                        self.expect("(")
+                        var, numeric = self._order_key()
+                        self.expect(")")
+                        order_by.append((var, desc, numeric))
+                        found = True
+                    elif self.peek().startswith("?"):
+                        order_by.append((self.next()[1:], False, False))
+                        found = True
+                    else:
+                        break
+                if not found:
+                    raise ValueError("SPARQL parse: empty ORDER BY")
+            elif kw == "limit":
+                self.next()
+                limit = int(self.next())
+            elif kw == "offset":
+                self.next()
+                offset = int(self.next())
+            else:
+                raise ValueError(
+                    f"SPARQL parse: unexpected trailing token {self.peek()!r}"
+                )
+        return group_by, having, order_by, limit, offset
+
+    _NUMERIC_CASTS = (
+        "http://www.w3.org/2001/XMLSchema#double",
+        "http://www.w3.org/2001/XMLSchema#decimal",
+        "http://www.w3.org/2001/XMLSchema#float",
+        "http://www.w3.org/2001/XMLSchema#integer",
+        "http://www.w3.org/2001/XMLSchema#int",
+        "http://www.w3.org/2001/XMLSchema#long",
+    )
+
+    def _order_key(self) -> tuple[str, bool]:
+        """Inside ASC(..)/DESC(..): ``?var`` (lexicographic — the store is
+        string-typed) or ``xsd:double(?var)`` etc. for numeric ordering."""
+        tok = self.peek()
+        if tok is not None and tok.startswith("?"):
+            return self._filter_var(), False
+        iri = self.resolve(self.next())
+        if iri not in self._NUMERIC_CASTS:
+            raise ValueError(
+                f"SPARQL parse: ORDER BY function {iri!r} unsupported "
+                "(xsd numeric casts only)"
+            )
+        self.expect("(")
+        var = self._filter_var()
+        self.expect(")")
+        return var, True
 
     def template_block(self) -> list[tuple[Term, Term, Term]]:
         self.expect("{")
@@ -542,7 +1026,9 @@ class _Parser:
         patterns, filters, optionals, unions = self.group()
         return Query("update", [], [], patterns, filters,
                      delete_template, insert_template,
-                     optionals=optionals, unions=unions)
+                     optionals=optionals, unions=unions,
+                     binds=self._binds, values_blocks=self._values,
+                     minuses=self._minuses, exists_filters=self._exists)
 
 
 def parse(text: str) -> Query:
@@ -662,9 +1148,97 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
     if not query.patterns and not query.unions:
         raise ValueError("SPARQL evaluate: empty graph pattern")
     bound = _solve(triples, query)
-    if query.form == "select":
-        return bound.select(*query.projection)
-    return _instantiate(bound, query.template)
+    if query.form == "construct":
+        if query.limit is not None:
+            bound = bound.limit(query.limit)
+        return _instantiate(bound, query.template)
+    return _project(bound, query)
+
+
+def _project(bound: DataFrame, query: Query) -> DataFrame:
+    """SELECT-clause projection + solution modifiers over the solved frame:
+    aggregation (GROUP BY / implicit single group), HAVING, projected
+    expressions, DISTINCT, ORDER BY, OFFSET/LIMIT — each a direct
+    DataFrame op (groupBy/agg, where, dropDuplicates, orderBy, offset,
+    limit), so Catalyst handles partial aggregation and sort planning."""
+    items = query.proj_items
+    aggs = [it[1] for it in items or [] if it[0] == "agg"]
+    if aggs or query.group_by:
+        if items is None:
+            raise ValueError("SPARQL: SELECT * cannot combine with GROUP BY")
+        gb = query.group_by or []
+        for it in items:
+            if it[0] == "var" and it[1] not in gb:
+                raise ValueError(
+                    f"SPARQL: projected ?{it[1]} is neither aggregated nor "
+                    "in GROUP BY"
+                )
+            if it[0] == "expr" and any(v not in gb for v in it[1].vars):
+                raise ValueError(
+                    "SPARQL: projected expression uses non-GROUP-BY variable"
+                )
+        missing = [v for v in gb if v not in bound.columns]
+        missing += [
+            v for a in aggs for v in a.vars if v not in bound.columns
+        ]
+        if missing:
+            raise ValueError(
+                "SPARQL: GROUP BY/aggregate references unbound variable(s): "
+                + ", ".join("?" + v for v in sorted(set(missing)))
+            )
+        out = bound.groupBy(*[F.col(v) for v in gb]).agg(*[a.column() for a in aggs])
+        out = _apply_filters(out, query.having)
+        cols = []
+        for it in items:
+            if it[0] == "var":
+                cols.append(F.col(it[1]))
+            elif it[0] == "agg":
+                cols.append(F.col(it[1].alias))
+            else:
+                cols.append(it[1].column().alias(it[2]))
+        out = out.select(*cols)
+    else:
+        if query.having:
+            raise ValueError("SPARQL: HAVING requires GROUP BY or aggregates")
+        if items is None:  # SELECT *
+            out = bound.select(*sorted(bound.columns))
+        else:
+            cols = []
+            for it in items:
+                if it[0] == "var":
+                    if it[1] not in bound.columns:
+                        raise ValueError(
+                            f"SPARQL: projected ?{it[1]} is not bound by any "
+                            "pattern"
+                        )
+                    cols.append(F.col(it[1]))
+                else:
+                    for v in it[1].vars:
+                        if v not in bound.columns:
+                            raise ValueError(
+                                f"SPARQL: projected expression references "
+                                f"unbound ?{v}"
+                            )
+                    cols.append(it[1].column().alias(it[2]))
+            out = bound.select(*cols)
+    if query.distinct:
+        out = out.dropDuplicates()
+    if query.order_by:
+        keys = []
+        for var, desc, numeric in query.order_by:
+            if var not in out.columns:
+                raise ValueError(
+                    f"SPARQL: ORDER BY ?{var} must be a projected column "
+                    "(ordering by non-projected variables is unsupported)"
+                )
+            c = F.col(var).cast("double") if numeric else F.col(var)
+            keys.append(c.desc() if desc else c.asc())
+        out = out.orderBy(*keys)
+    if query.offset:
+        out = out.offset(query.offset)
+    if query.limit is not None:
+        out = out.limit(query.limit)
+    return out
 
 
 def _join_patterns(triples: DataFrame, patterns: list,
@@ -757,7 +1331,43 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
     for opt in query.optionals or []:
         bound = _merge(bound, _solve_optional(triples, opt), how="left")
     assert bound is not None
-    return _apply_filters(bound, query.filters)
+    # top-level group extensions, in algebra order: BIND extends the
+    # solution (filters may reference its vars), VALUES joins inline data,
+    # then filters, then EXISTS semi-/anti-joins, then MINUS.
+    for expr, var in query.binds or []:
+        if var in bound.columns:
+            raise ValueError(f"SPARQL: BIND target ?{var} is already bound")
+        missing = [v for v in expr.vars if v not in bound.columns]
+        if missing:
+            raise ValueError(
+                "SPARQL: BIND expression references unbound variable(s): "
+                + ", ".join("?" + v for v in missing)
+            )
+        bound = bound.withColumn(var, expr.column())
+    for names, rows in query.values_blocks or []:
+        vdf = triples.sparkSession.createDataFrame(
+            rows, schema=", ".join(f"`{n}` string" for n in names)
+        ).dropDuplicates()
+        # inline data is tiny by construction — broadcast, never shuffle
+        bound = _merge(bound, F.broadcast(vdf))
+    bound = _apply_filters(bound, query.filters)
+    for negated, (ex_p, ex_f) in query.exists_filters or []:
+        other = _join_patterns(triples, ex_p, ex_f)
+        shared = sorted(set(bound.columns) & set(other.columns))
+        how = "left_anti" if negated else "left_semi"
+        if shared:
+            bound = bound.join(other, on=shared, how=how)
+        else:
+            # uncorrelated EXISTS: keep all rows iff the group is non-empty
+            bound = bound.join(other.limit(1), F.lit(True), how)
+    for mi_p, mi_f in query.minuses or []:
+        other = _join_patterns(triples, mi_p, mi_f)
+        shared = sorted(set(bound.columns) & set(other.columns))
+        if shared:  # disjoint-domain MINUS removes nothing (SPARQL spec)
+            bound = bound.join(
+                other.select(*shared).dropDuplicates(), on=shared, how="left_anti"
+            )
+    return bound
 
 
 def _instantiate(bound: DataFrame, template: list) -> DataFrame:

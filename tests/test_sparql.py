@@ -657,3 +657,229 @@ def test_optional_inside_union_arm(spark):
         (EX + "a", EX + "o1", "O1"),
         (EX + "b", EX + "o2", None),
     }
+
+
+# ---------------------------------------------------------------------------
+# SELECT-clause algebra + solution modifiers (aggregates, DISTINCT, ORDER BY,
+# LIMIT/OFFSET) and top-level group extensions (BIND, VALUES, MINUS, EXISTS).
+# ---------------------------------------------------------------------------
+
+
+def _scores_graph(spark):
+    rows = []
+    for m, g, sc in [
+        ("m1", "a", "3"), ("m2", "a", "5"), ("m3", "b", "7"),
+        ("m4", "b", "1"), ("m5", "c", "9"), ("m6", "c", "10"),
+    ]:
+        rows.append((EX + m, EX + "group", g))
+        rows.append((EX + m, EX + "score", sc))
+    return _triples(spark, rows)
+
+
+def test_select_distinct_honored(spark):
+    """DISTINCT used to be consumed by the parser and silently ignored —
+    projecting a duplicated column must now dedupe."""
+    t = _triples(spark, [(EX + "m1", EX + "p", "x"), (EX + "m2", EX + "p", "x")])
+    q = f'PREFIX ex: <{EX}> SELECT DISTINCT ?o WHERE {{ ?s ex:p ?o }}'
+    assert sparql.evaluate(t, q).count() == 1
+    q_plain = f'PREFIX ex: <{EX}> SELECT ?o WHERE {{ ?s ex:p ?o }}'
+    assert sparql.evaluate(t, q_plain).count() == 2
+
+
+def test_select_star(spark):
+    t = _triples(spark, [(EX + "m1", EX + "p", "x")])
+    q = f'PREFIX ex: <{EX}> SELECT * WHERE {{ ?s ex:p ?o }}'
+    got = sparql.evaluate(t, q)
+    assert sorted(got.columns) == ["o", "s"]
+    assert got.count() == 1
+
+
+def test_group_by_aggregates(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?g (COUNT(*) AS ?n) (SUM(?sc) AS ?total) (MIN(?sc) AS ?lo)"
+         " (MAX(?sc) AS ?hi) (AVG(?sc) AS ?mean)"
+         ' (GROUP_CONCAT(?sc; SEPARATOR="|") AS ?all)\n'
+         "WHERE { ?m ex:group ?g . ?m ex:score ?sc } GROUP BY ?g ORDER BY ?g")
+    got = [tuple(r) for r in sparql.evaluate(t, q).collect()]
+    assert got == [
+        ("a", 2, 8.0, "3", "5", 4.0, "3|5"),
+        ("b", 2, 8.0, "1", "7", 4.0, "1|7"),
+        ("c", 2, 19.0, "10", "9", 9.5, "10|9"),  # MIN/MAX lexicographic
+    ]
+
+
+def test_global_aggregate_and_count_distinct(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT (COUNT(DISTINCT ?g) AS ?ng) (COUNT(?m) AS ?nm)\n"
+         "WHERE { ?m ex:group ?g }")
+    assert [tuple(r) for r in sparql.evaluate(t, q).collect()] == [(3, 6)]
+
+
+def test_having(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?g (SUM(?sc) AS ?total) WHERE { ?m ex:group ?g . "
+         "?m ex:score ?sc } GROUP BY ?g HAVING (?total > 10) ORDER BY ?g")
+    assert [tuple(r) for r in sparql.evaluate(t, q).collect()] == [("c", 19.0)]
+
+
+def test_order_by_numeric_vs_lexicographic(spark):
+    t = _scores_graph(spark)
+    base = (f"PREFIX ex: <{EX}> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+            "SELECT ?m ?sc WHERE { ?m ex:score ?sc } ")
+    lex = sparql.evaluate(t, base + "ORDER BY ?sc").collect()
+    assert [r["sc"] for r in lex] == ["1", "10", "3", "5", "7", "9"]
+    num = sparql.evaluate(t, base + "ORDER BY DESC(xsd:double(?sc))").collect()
+    assert [r["sc"] for r in num] == ["10", "9", "7", "5", "3", "1"]
+
+
+def test_limit_offset(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g }} "
+         "ORDER BY ?m LIMIT 2 OFFSET 1")
+    assert [r["m"] for r in sparql.evaluate(t, q).collect()] == [
+        EX + "m2", EX + "m3"]
+
+
+def test_bind_arithmetic_and_concat(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?m ?twice ?tag WHERE { ?m ex:score ?sc . "
+         'BIND(?sc * 2 + 1 AS ?twice) BIND(CONCAT("g:", ?sc) AS ?tag) '
+         "FILTER(?twice > 18) } ORDER BY ?m")
+    got = [tuple(r) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "m5", 19.0, "g:9"), (EX + "m6", 21.0, "g:10")]
+
+
+def test_bind_rebind_raises(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:score ?sc . "
+         "BIND(?sc AS ?sc) }")
+    import pytest
+    with pytest.raises(ValueError, match="already bound"):
+        sparql.evaluate(t, q)
+
+
+def test_values_single_var(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g . "
+         'VALUES ?g { "a" "c" } } ORDER BY ?m')
+    assert [r["m"] for r in sparql.evaluate(t, q).collect()] == [
+        EX + "m1", EX + "m2", EX + "m5", EX + "m6"]
+
+
+def test_values_multi_var(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g . "
+         "?m ex:score ?sc . "
+         'VALUES (?g ?sc) { ("a" "3") ("b" "7") } } ORDER BY ?m')
+    assert [r["m"] for r in sparql.evaluate(t, q).collect()] == [
+        EX + "m1", EX + "m3"]
+
+
+def test_values_undef_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="UNDEF"):
+        sparql.parse(
+            'SELECT ?s WHERE { ?s ?p ?o . VALUES (?s ?o) { (UNDEF "x") } }'
+        )
+
+
+def test_minus(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g "
+         'MINUS { ?m ex:group "c" } } ORDER BY ?m')
+    assert [r["m"] for r in sparql.evaluate(t, q).collect()] == [
+        EX + "m1", EX + "m2", EX + "m3", EX + "m4"]
+
+
+def test_minus_disjoint_domain_removes_nothing(spark):
+    """SPARQL spec: MINUS with no shared variables removes nothing."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g "
+         "MINUS { ?other ex:score ?sc } }")
+    assert sparql.evaluate(t, q).count() == 6
+
+
+def test_exists_and_not_exists(spark):
+    rows = [(EX + "m1", EX + "p", "x"), (EX + "m2", EX + "p", "y"),
+            (EX + "m1", EX + "flag", "1")]
+    t = _triples(spark, rows)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:p ?o . "
+         "FILTER EXISTS { ?m ex:flag ?f } }")
+    assert [r["m"] for r in sparql.evaluate(t, q).collect()] == [EX + "m1"]
+    q2 = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:p ?o . "
+          "FILTER NOT EXISTS { ?m ex:flag ?f } }")
+    assert [r["m"] for r in sparql.evaluate(t, q2).collect()] == [EX + "m2"]
+
+
+def test_uncorrelated_not_exists(spark):
+    """NOT EXISTS sharing no variables: keeps all rows iff group is empty."""
+    t = _triples(spark, [(EX + "m1", EX + "p", "x")])
+    empty = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:p ?o . "
+             "FILTER NOT EXISTS { ?z ex:absent ?w } }")
+    assert sparql.evaluate(t, empty).count() == 1
+    nonempty = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:p ?o . "
+                "FILTER NOT EXISTS { ?z ex:p ?w } }")
+    assert sparql.evaluate(t, nonempty).count() == 0
+
+
+def test_projected_expression(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m (?sc / 2 AS ?half) "
+         "WHERE { ?m ex:score ?sc } ORDER BY ?m LIMIT 1")
+    assert [tuple(r) for r in sparql.evaluate(t, q).collect()] == [
+        (EX + "m1", 1.5)]
+
+
+def test_literal_object_pattern(spark):
+    t = _scores_graph(spark)
+    q = f'PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group "b" }} ORDER BY ?m'
+    assert [r["m"] for r in sparql.evaluate(t, q).collect()] == [
+        EX + "m3", EX + "m4"]
+
+
+def test_projected_var_not_grouped_raises(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m (COUNT(*) AS ?n) "
+         "WHERE { ?m ex:group ?g } GROUP BY ?g")
+    import pytest
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sparql.evaluate(t, q)
+
+
+def test_having_without_aggregation_raises(spark):
+    t = _scores_graph(spark)
+    import pytest
+    with pytest.raises(ValueError, match="HAVING"):
+        sparql.evaluate(
+            t,
+            f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g }} "
+            "HAVING (?g > 1)",
+        )
+
+
+def test_bind_inside_optional_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="top-level"):
+        sparql.parse(
+            "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { ?s ?q ?r . "
+            "BIND(?r AS ?x) } }"
+        )
+
+
+def test_construct_limit(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> CONSTRUCT {{ ?m ex:kept ?g }} "
+         "WHERE { ?m ex:group ?g } LIMIT 2")
+    assert sparql.evaluate(t, q).count() == 2
+
+
+def test_sample_aggregate_deterministic(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?g (SAMPLE(?m) AS ?pick) "
+         "WHERE { ?m ex:group ?g } GROUP BY ?g ORDER BY ?g")
+    got = [tuple(r) for r in sparql.evaluate(t, q).collect()]
+    assert got == [("a", EX + "m1"), ("b", EX + "m3"), ("c", EX + "m5")]
