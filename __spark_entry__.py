@@ -952,6 +952,44 @@ FROM scores
 """
 
 
+def q_sparql_analytics(spark, sf_dir) -> DataFrame:
+    """SPARQL SELECT algebra over the KG (the RunSPARQLQuery surface for
+    arbitrary user queries, RunSPARQLQuery.scala:12-33): aggregates
+    (COUNT DISTINCT, MIN) with GROUP BY + HAVING, a transitive path in
+    the BGP, ORDER BY DESC + tiebreak, LIMIT — top-10 classes by
+    descendant count. The whole pipeline is one groupBy().agg() over the
+    closure relation; Catalyst plans the partial aggregate."""
+    from phenoscape_owl_tools_spark import sparql as sparql_mod
+
+    edges = KG.subclass_edges(_docs(spark, sf_dir))
+    t = edges.select(
+        F.col("sub").alias("subj"),
+        F.lit(vocab.RDFS_SUBCLASS_OF).alias("pred"),
+        F.col("sup").alias("obj"),
+    )
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?sup (COUNT(DISTINCT ?sub) AS ?n_desc) (MIN(?sub) AS ?first_desc)
+    WHERE { ?sub rdfs:subClassOf+ ?sup }
+    GROUP BY ?sup
+    HAVING (?n_desc >= 2)
+    ORDER BY DESC(?n_desc) ?sup
+    LIMIT 10
+    """
+    return sparql_mod.evaluate(t, q)
+
+
+SQL_SPARQL_ANALYTICS = SQL_PREAMBLE + """
+SELECT sup, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_desc,
+       MIN(sub) AS first_desc
+FROM cl
+GROUP BY sup
+HAVING COUNT(DISTINCT sub) >= 2
+ORDER BY n_desc DESC, sup
+LIMIT 10
+"""
+
+
 def q_unsat_classes(spark, sf_dir) -> DataFrame:
     """C7 — DisjointClasses(len-3 class, its namespace root) makes every
     class under a len-3 class unsatisfiable."""
@@ -2416,6 +2454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
+        # r4: sparql_analytics (the new SELECT-algebra path — aggregates /
+        # HAVING / ORDER BY / LIMIT) takes the 50th in-window slot; the
+        # displaced events_user_stats and tpch_q5 stay oracle-paired and
+        # are swept locally (scripts/check_correctness.py — committed as
+        # CORRECTNESS_local_r04.json) plus pytest-covered.
+        "sparql_analytics": q_sparql_analytics,
         "events_user_stats": q_events_user_stats,
         "tpch_q5": q_tpch_q5,
     }
@@ -2510,4 +2554,5 @@ def oracle_sql() -> dict[str, str]:
         "events_json": SQL_EVENTS_JSON,
         "events_user_stats": SQL_EVENTS_USER_STATS,
         "ann_ivf_topk": SQL_ANN_COSINE_TOPK,  # nprobe == n_cells ≡ exact
+        "sparql_analytics": SQL_SPARQL_ANALYTICS,
     }
