@@ -6,6 +6,10 @@ this module covers the language subset its shipped queries actually use
 (src/main/sparql/*.rq):
 
 - ``PREFIX`` declarations, ``SELECT ?v ...`` and ``CONSTRUCT { ... }`` forms,
+  plus ``ASK`` (one boolean row, computed from a 1-row probe — the
+  solution set never materializes) and ``DESCRIBE <iri>...`` /
+  ``DESCRIBE ?v WHERE {...}`` (all triples with the resource as subject
+  or object; two semi equi-joins, never an OR-join),
 - basic graph patterns: IRIs (``<...>`` or prefixed names), variables,
   ``a`` for rdf:type,
 - property paths with SPARQL 1.1 grammar and precedence: grouping parens
@@ -882,6 +886,42 @@ class _Parser:
                          binds=self._binds, values_blocks=self._values,
                          minuses=self._minuses, exists_filters=self._exists,
                          limit=limit)
+        if form == "ask":
+            if self.peek() and self.peek().lower() == "where":
+                self.next()
+            patterns, filters, optionals, unions = self.group()
+            if self.peek() is not None:
+                raise ValueError(
+                    "SPARQL parse: ASK takes no solution modifiers"
+                )
+            return Query("ask", [], [], patterns, filters,
+                         optionals=optionals, unions=unions,
+                         binds=self._binds, values_blocks=self._values,
+                         minuses=self._minuses, exists_filters=self._exists)
+        if form == "describe":
+            tok = self.peek()
+            if tok is None:
+                raise ValueError("SPARQL parse: DESCRIBE needs a resource")
+            if tok.startswith("?"):
+                var = self._filter_var()
+                self.expect("where")
+                patterns, filters, optionals, unions = self.group()
+                group_by, having, order_by, limit, offset = self._modifiers()
+                if group_by or having or order_by or offset is not None:
+                    raise ValueError(
+                        "SPARQL parse: DESCRIBE supports LIMIT only"
+                    )
+                return Query("describe", [var], [], patterns, filters,
+                             optionals=optionals, unions=unions,
+                             binds=self._binds, values_blocks=self._values,
+                             minuses=self._minuses,
+                             exists_filters=self._exists, limit=limit)
+            # DESCRIBE <iri> [<iri> ...] — no WHERE clause; the iri list
+            # rides in `projection` (patterns empty distinguishes the form)
+            iris = []
+            while self.peek() is not None:
+                iris.append(self.resolve(self.next()))
+            return Query("describe", iris, [], [], [])
         if form in ("insert", "delete"):
             return self._parse_update(form)
         raise ValueError(f"SPARQL parse: unsupported query form {form!r}")
@@ -1145,14 +1185,49 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
         query = parse(query)
     if query.form == "update":
         raise ValueError("SPARQL evaluate: use update() for update statements")
+    if query.form == "describe" and not query.patterns:
+        # DESCRIBE <iri> ... — all triples with the resource as subj or obj
+        res = triples.sparkSession.createDataFrame(
+            [(i,) for i in query.projection], schema="`__r__` string"
+        )
+        return _describe(triples, F.broadcast(res))
     if not query.patterns and not query.unions:
         raise ValueError("SPARQL evaluate: empty graph pattern")
     bound = _solve(triples, query)
+    if query.form == "ask":
+        # one boolean row — a global aggregate over a 1-row-probe limit,
+        # so the answer never materializes the full solution set
+        return bound.limit(1).groupBy().agg(
+            (F.count(F.lit(1)) > 0).alias("ask")
+        )
+    if query.form == "describe":
+        var = query.projection[0]
+        if var not in bound.columns:
+            raise ValueError(
+                f"SPARQL: DESCRIBE ?{var} is not bound by the WHERE pattern"
+            )
+        res = bound.select(F.col(var).alias("__r__")).dropDuplicates()
+        if query.limit is not None:
+            res = res.limit(query.limit)
+        return _describe(triples, res)
     if query.form == "construct":
         if query.limit is not None:
             bound = bound.limit(query.limit)
         return _instantiate(bound, query.template)
     return _project(bound, query)
+
+
+def _describe(triples: DataFrame, resources: DataFrame) -> DataFrame:
+    """All triples whose subject OR object is one of ``resources.__r__`` —
+    two semi equi-joins unioned (never an OR-join, which would force a
+    nested-loop at scale)."""
+    by_subj = triples.join(
+        resources, triples["subj"] == resources["__r__"], "left_semi"
+    )
+    by_obj = triples.join(
+        resources, triples["obj"] == resources["__r__"], "left_semi"
+    )
+    return by_subj.unionByName(by_obj).dropDuplicates()
 
 
 def _project(bound: DataFrame, query: Query) -> DataFrame:

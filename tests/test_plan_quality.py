@@ -197,3 +197,44 @@ def test_direct_hierarchy_two_hop_keeps_explicit_width(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2500]
+
+
+def test_sparql_analytics_partial_aggregation(spark):
+    """The SPARQL aggregate path must compile to a two-phase hash
+    aggregate (map-side partial + final after one shuffle on the group
+    key) — i.e. one groupBy().agg() Catalyst can split, not a collect
+    or a window."""
+    plan = _plan(spark, "sparql_analytics")
+    # partial + final aggregate pair on the grouping key (COUNT DISTINCT
+    # compiles to the sort-based two-exchange shape; either family is a
+    # distributed two-phase aggregate)
+    assert len(re.findall(r"HashAggregate|SortAggregate", plan)) >= 2
+    # ORDER BY + LIMIT must fuse to a top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sparql_values_broadcast(spark):
+    """VALUES inline data joins must broadcast — never shuffle the big
+    solution side against a literal handful of rows."""
+    from phenoscape_owl_tools_spark import sparql as sparql_mod
+    from pyspark.sql import functions as F
+
+    flat = spark.read.parquet(f"{SF001}/documents.parquet")
+    from phenoscape_owl_tools_spark.sources import tpch_kg as KG
+    from phenoscape_owl_tools_spark import vocab
+
+    t = KG.subclass_edges(flat).select(
+        F.col("sub").alias("subj"),
+        F.lit(vocab.RDFS_SUBCLASS_OF).alias("pred"),
+        F.col("sup").alias("obj"),
+    )
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?sub WHERE { ?sub rdfs:subClassOf ?sup .
+      VALUES ?sup { "http://kg.example.org/root" } }"""
+    df = sparql_mod.evaluate(t, q)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

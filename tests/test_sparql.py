@@ -883,3 +883,49 @@ def test_sample_aggregate_deterministic(spark):
          "WHERE { ?m ex:group ?g } GROUP BY ?g ORDER BY ?g")
     got = [tuple(r) for r in sparql.evaluate(t, q).collect()]
     assert got == [("a", EX + "m1"), ("b", EX + "m3"), ("c", EX + "m5")]
+
+
+def test_ask(spark):
+    t = _scores_graph(spark)
+    yes = f'PREFIX ex: <{EX}> ASK {{ ?m ex:group "b" }}'
+    assert [r["ask"] for r in sparql.evaluate(t, yes).collect()] == [True]
+    no = f'PREFIX ex: <{EX}> ASK WHERE {{ ?m ex:group "zzz" }}'
+    assert [r["ask"] for r in sparql.evaluate(t, no).collect()] == [False]
+
+
+def test_describe_iri(spark):
+    t = _scores_graph(spark)
+    got = sparql.evaluate(t, f"DESCRIBE <{EX}m1>").collect()
+    assert {(r.subj, r.pred, r.obj) for r in got} == {
+        (EX + "m1", EX + "group", "a"),
+        (EX + "m1", EX + "score", "3"),
+    }
+
+
+def test_describe_var_where(spark):
+    t = _scores_graph(spark)
+    q = f'PREFIX ex: <{EX}> DESCRIBE ?m WHERE {{ ?m ex:group "c" }}'
+    got = sparql.evaluate(t, q).collect()
+    assert {(r.subj, r.pred, r.obj) for r in got} == {
+        (EX + "m5", EX + "group", "c"), (EX + "m5", EX + "score", "9"),
+        (EX + "m6", EX + "group", "c"), (EX + "m6", EX + "score", "10"),
+    }
+
+
+def test_describe_object_position(spark):
+    """DESCRIBE includes triples where the resource is the OBJECT too."""
+    t = _triples(spark, [
+        (EX + "a", EX + "p", EX + "b"),
+        (EX + "b", EX + "q", EX + "c"),
+    ])
+    got = sparql.evaluate(t, f"DESCRIBE <{EX}b>").collect()
+    assert {(r.subj, r.pred, r.obj) for r in got} == {
+        (EX + "a", EX + "p", EX + "b"),
+        (EX + "b", EX + "q", EX + "c"),
+    }
+
+
+def test_ask_rejects_modifiers():
+    import pytest
+    with pytest.raises(ValueError, match="modifier"):
+        sparql.parse("ASK { ?s ?p ?o } LIMIT 1")
