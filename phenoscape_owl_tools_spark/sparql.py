@@ -55,6 +55,10 @@ this module covers the language subset its shipped queries actually use
   uncorrelated groups degrade to a non-empty probe),
 - triple patterns may use literal/numeric objects (``?m ex:group "c"``) —
   constants over the string-typed store,
+- ``{ SELECT ... }`` subqueries (top-level group): evaluated bottom-up
+  with their own aggregation/modifier scope; only projected vars join the
+  outer solutions (SPARQL subquery scoping) — enables nested aggregation
+  ("members of groups whose total exceeds X"),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
   ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
   — functional (the updated graph is returned), covering the reference's
@@ -304,6 +308,7 @@ class Query:
     values_blocks: list[tuple[list[str], list[tuple]]] | None = None
     minuses: list[tuple] | None = None                   # MINUS groups
     exists_filters: list[tuple[bool, tuple]] | None = None  # (negated, group)
+    subqueries: list["Query"] | None = None              # { SELECT ... } blocks
     # solution modifiers
     group_by: list[str] | None = None
     having: list[Filter] | None = None
@@ -355,6 +360,7 @@ class _Parser:
         self._values: list[tuple[list[str], list[tuple]]] = []
         self._minuses: list[tuple] = []
         self._exists: list[tuple[bool, tuple]] = []
+        self._subqueries: list["Query"] = []
         self.prefixes: dict[str, str] = {}
         for m in re.finditer(
             rf"(?i)\bPREFIX\s+([A-Za-z][\w-]*)?\s*:\s*<([^>]*)>", text
@@ -491,6 +497,22 @@ class _Parser:
             if self.peek().lower() == "optional":
                 self.next()
                 optionals.append(subgroup("OPTIONAL"))
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if self.peek() == "{" and self.i + 1 < len(self.toks) and \
+                    self.toks[self.i + 1].lower() == "select":
+                # { SELECT ... } subquery — evaluated bottom-up, its
+                # projected vars join the outer solutions
+                if not top:
+                    raise ValueError(
+                        "SPARQL parse: subqueries supported in the "
+                        "top-level group only"
+                    )
+                self.next()  # {
+                self.next()  # SELECT
+                self._subqueries.append(self._parse_select(sub=True))
+                self.expect("}")
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -799,6 +821,26 @@ class _Parser:
     def parse(self) -> Query:
         form = self.next().lower()
         if form == "select":
+            q = self._parse_select(sub=False)
+            if self.peek() is not None:
+                raise ValueError(
+                    f"SPARQL parse: unexpected trailing token {self.peek()!r}"
+                )
+            return q
+        return self._parse_non_select(form)
+
+    def _parse_select(self, sub: bool) -> Query:
+        """The SELECT clause + WHERE group + modifiers. ``sub=True``
+        parses a subquery: it stops at the enclosing ``}`` and carries its
+        OWN top-level-extension scope (a subquery's BIND/VALUES/MINUS/
+        EXISTS belong to the subquery, not the outer query)."""
+        if sub:
+            outer = (self._binds, self._values, self._minuses, self._exists,
+                     self._subqueries, self._group_depth)
+            self._binds, self._values, self._minuses, self._exists = [], [], [], []
+            self._subqueries = []
+            self._group_depth = 0
+        try:
             distinct = False
             star = False
             if self.peek() and self.peek().lower() in ("distinct", "reduced"):
@@ -848,7 +890,9 @@ class _Parser:
                 raise ValueError("SPARQL parse: empty SELECT projection")
             self.expect("where")
             patterns, filters, optionals, unions = self.group()
-            group_by, having, order_by, limit, offset = self._modifiers()
+            group_by, having, order_by, limit, offset = self._modifiers(
+                stop_at_brace=sub
+            )
             projection = [
                 it[1] if it[0] == "var" else
                 (it[1].alias if it[0] == "agg" else it[2])
@@ -860,8 +904,15 @@ class _Parser:
                          distinct=distinct,
                          binds=self._binds, values_blocks=self._values,
                          minuses=self._minuses, exists_filters=self._exists,
+                         subqueries=self._subqueries,
                          group_by=group_by, having=having, order_by=order_by,
                          limit=limit, offset=offset)
+        finally:
+            if sub:
+                (self._binds, self._values, self._minuses, self._exists,
+                 self._subqueries, self._group_depth) = outer
+
+    def _parse_non_select(self, form: str) -> Query:
         if form == "construct":
             self.expect("{")
             template = []
@@ -926,15 +977,18 @@ class _Parser:
             return self._parse_update(form)
         raise ValueError(f"SPARQL parse: unsupported query form {form!r}")
 
-    def _modifiers(self):
+    def _modifiers(self, stop_at_brace: bool = False):
         """Trailing solution modifiers: GROUP BY / HAVING / ORDER BY /
-        LIMIT / OFFSET (LIMIT and OFFSET accepted in either order)."""
+        LIMIT / OFFSET (LIMIT and OFFSET accepted in either order).
+        ``stop_at_brace`` (subquery mode) returns at the enclosing '}'."""
         group_by: list[str] = []
         having: list[Filter] = []
         order_by: list[tuple[str, bool, bool]] = []
         limit: int | None = None
         offset: int | None = None
         while self.peek() is not None:
+            if stop_at_brace and self.peek() == "}":
+                break
             kw = self.peek().lower()
             if kw == "group":
                 self.next()
@@ -1191,7 +1245,7 @@ def evaluate(triples: DataFrame, query: Query | str) -> DataFrame:
             [(i,) for i in query.projection], schema="`__r__` string"
         )
         return _describe(triples, F.broadcast(res))
-    if not query.patterns and not query.unions:
+    if not query.patterns and not query.unions and not query.subqueries:
         raise ValueError("SPARQL evaluate: empty graph pattern")
     bound = _solve(triples, query)
     if query.form == "ask":
@@ -1387,6 +1441,11 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
     from itertools import product
 
     base = _join_patterns(triples, query.patterns) if query.patterns else None
+    for sq in query.subqueries or []:
+        # a subquery is a complete SELECT evaluated bottom-up (its own
+        # aggregation/modifiers run first); only its PROJECTED vars are
+        # visible to the outer query (SPARQL subquery scoping)
+        base = _merge(base, _project(_solve(triples, sq), sq))
     if query.unions:
         combos = []
         for arm_combo in product(*query.unions):

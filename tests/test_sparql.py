@@ -929,3 +929,55 @@ def test_ask_rejects_modifiers():
     import pytest
     with pytest.raises(ValueError, match="modifier"):
         sparql.parse("ASK { ?s ?p ?o } LIMIT 1")
+
+
+def test_subquery_nested_aggregation(spark):
+    """{ SELECT ... } subquery: members of groups whose total score
+    exceeds 10 — the inner aggregation runs first, its projected vars
+    join the outer BGP."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?m ?g ?total WHERE { ?m ex:group ?g . "
+         "{ SELECT ?g (SUM(?sc) AS ?total) WHERE { ?x ex:group ?g . "
+         "?x ex:score ?sc } GROUP BY ?g HAVING (?total > 10) } } ORDER BY ?m")
+    got = [tuple(r) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "m5", "c", 19.0), (EX + "m6", "c", 19.0)]
+
+
+def test_subquery_only_group(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?g WHERE {{ "
+         "{ SELECT ?g (COUNT(*) AS ?n) WHERE { ?m ex:group ?g } GROUP BY ?g }"
+         " } ORDER BY ?g LIMIT 2")
+    assert [r["g"] for r in sparql.evaluate(t, q).collect()] == ["a", "b"]
+
+
+def test_subquery_projection_scoping(spark):
+    """Only the subquery's PROJECTED variables are visible outside —
+    referencing its internal ?sc var must raise unbound."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?sc WHERE {{ "
+         "{ SELECT ?g WHERE { ?x ex:group ?g . ?x ex:score ?sc } } }")
+    import pytest
+    with pytest.raises(ValueError, match="not bound"):
+        sparql.evaluate(t, q)
+
+
+def test_subquery_bind_scope_stays_inner(spark):
+    """A BIND inside the subquery belongs to the subquery, not the outer
+    group — the outer query must not see ?half unless projected."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?g ?half WHERE {{ "
+         "{ SELECT ?g (?sc / 2 AS ?half) WHERE { ?x ex:group ?g . "
+         "?x ex:score ?sc . BIND(?sc AS ?raw) } } } ORDER BY ?g ?half LIMIT 2")
+    got = [tuple(r) for r in sparql.evaluate(t, q).collect()]
+    assert got == [("a", 1.5), ("a", 2.5)]
+
+
+def test_subquery_inside_union_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="top-level"):
+        sparql.parse(
+            "SELECT ?s WHERE { { { SELECT ?s WHERE { ?s ?p ?o } } } "
+            "UNION { ?s ?q ?r } }"
+        )
