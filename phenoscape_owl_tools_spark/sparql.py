@@ -15,9 +15,10 @@ this module covers the language subset its shipped queries actually use
 - property paths with SPARQL 1.1 grammar and precedence: grouping parens
   ``(p/q)*``, sequence ``p/q``, alternation ``p1|p2`` (binding LOOSER than
   ``/``, per spec — ``p|q+`` is ``p | (q+)``), star ``p*``, plus ``p+``,
-  zero-or-one ``p?`` (sequence position only — a leading/bare ``p?`` has
-  no bounded domain for its zero-length arm and raises), inverse ``^p``
-  (applies to the following path element, including its modifier),
+  zero-or-one ``p?`` (mid-sequence contributes its zero-length arm;
+  leading/bare ``p?`` drops it = ``R_p``, the same KB-build convention as
+  bare ``p*``), inverse ``^p`` (applies to the following path element,
+  including its modifier),
 - ``FILTER`` with ``isIRI(?v)``, ``regex(?v, "pat"[, "flags"])``,
   comparisons ``?v OP term`` (``= != < <= > >=``; term = var, IRI, number,
   or string — numeric RHS compares numerically), ``!`` negation, ``&&``
@@ -26,11 +27,14 @@ this module covers the language subset its shipped queries actually use
   variable no pattern in scope binds raises (strict — a typo'd var must
   not silently return unfiltered rows),
 - ``OPTIONAL { ... }`` (nests: an OPTIONAL may contain its own OPTIONAL
-  groups, any depth), ``{ ... } UNION { ... }`` — multiple UNION blocks
-  per group supported (the solver distributes the join over the blocks'
-  arm product so no join ever sees a null key); a UNION arm may carry
-  its own (nested) OPTIONAL groups — only a UNION nested inside another
-  UNION arm is rejected. Group algebra LIMITATION:
+  groups and UNION blocks, any depth), ``{ ... } UNION { ... }`` —
+  multiple UNION blocks per group AND UNIONs nested inside UNION arms
+  (flattened into the arm product at parse time, so the solver only ever
+  equi-joins statically-bound variable sets — no join sees a null key);
+  arms/OPTIONALs may carry their own OPTIONAL groups, BINDs and VALUES.
+  A shared variable a subgroup binds only PARTIALLY (optional extension /
+  missing from one arm) cannot be an equi-join key and raises rather than
+  silently dropping solutions. Group algebra LIMITATION:
   OPTIONAL groups are evaluated AFTER the basic patterns and UNION blocks
   regardless of textual order (left-associative SPARQL group ordering is
   not reproduced; for BGP+UNION+OPTIONAL shapes the results coincide),
@@ -46,13 +50,16 @@ this module covers the language subset its shipped queries actually use
 - solution modifiers: ``ORDER BY [ASC|DESC](?v)`` (lexicographic over the
   string-typed store; ``ASC/DESC(xsd:double(?v))`` for numeric order),
   ``LIMIT`` / ``OFFSET``,
-- top-level-group extensions (rejected inside OPTIONAL/UNION arms):
-  ``BIND(expr AS ?v)`` (expr: vars, literals, ``+ - * /`` over double
-  casts, ``CONCAT``, ``STR``), ``VALUES`` inline data (single- and
-  multi-var; UNDEF rejected; always broadcast), ``MINUS { BGP }``
-  (left-anti on shared vars; disjoint domains remove nothing, per spec),
-  ``FILTER [NOT] EXISTS { BGP }`` (semi-/anti-join on shared vars;
-  uncorrelated groups degrade to a non-empty probe),
+- group extensions: ``BIND(expr AS ?v)`` (expr: vars, literals,
+  ``+ - * /`` over double casts, ``CONCAT``, ``STR``) and ``VALUES``
+  inline data (single- and multi-var; ``UNDEF`` joins on the row's
+  defined columns only via defined-mask grouping — still pure equi-joins;
+  always broadcast) anywhere a group appears, including OPTIONAL groups
+  and UNION arms; top-level-group only: ``MINUS { G }`` (left-anti on
+  shared vars; disjoint domains remove nothing, per spec) and
+  ``FILTER [NOT] EXISTS { G }`` (semi-/anti-join on shared vars;
+  uncorrelated groups degrade to a non-empty probe) — G a full group
+  (may contain OPTIONAL/UNION/BIND/VALUES),
 - triple patterns may use literal/numeric objects (``?m ex:group "c"``) —
   constants over the string-typed store,
 - ``{ SELECT ... }`` subqueries (top-level group): evaluated bottom-up
@@ -83,8 +90,10 @@ No driver-side row iteration — results stay distributed.
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass
+from itertools import product
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -125,6 +134,60 @@ class Pattern:
     subj: Term
     path: PathNode | Term  # Term only for a variable predicate
     obj: Term
+
+    @property
+    def vars(self) -> tuple[str, ...]:
+        out = []
+        for t in (self.subj, self.path, self.obj):
+            if isinstance(t, Term) and t.kind == "var":
+                out.append(t.value)
+        return tuple(out)
+
+
+@dataclass
+class GroupNode:
+    """A parsed ``{ ... }`` group — the recursive SPARQL group algebra.
+
+    ``unions`` holds UNION blocks (each a list of arms); arms are
+    union-free by construction: a UNION nested inside an arm is expanded
+    at parse time into the arm product (:func:`_dnf`), so the solver only
+    ever joins statically-known variable sets — no join sees a null key.
+    ``optionals`` nest to any depth. ``binds``/``values`` are group-scoped
+    (they extend THIS group's solutions)."""
+
+    patterns: list = dataclasses.field(default_factory=list)
+    filters: list = dataclasses.field(default_factory=list)
+    optionals: list = dataclasses.field(default_factory=list)  # [GroupNode]
+    unions: list = dataclasses.field(default_factory=list)  # [[GroupNode]]
+    binds: list = dataclasses.field(default_factory=list)  # [(Expr, var)]
+    values: list = dataclasses.field(default_factory=list)  # [(names, rows)]
+
+
+def _merge_nodes(a: GroupNode, b: GroupNode) -> GroupNode:
+    """Conjoin two union-free groups (DNF expansion step). Filters keep
+    group scope in the flattened join because they only constrain the
+    variables they name — joining first and filtering once is equivalent."""
+    return GroupNode(a.patterns + b.patterns, a.filters + b.filters,
+                     a.optionals + b.optionals, [],
+                     a.binds + b.binds, a.values + b.values)
+
+
+def _dnf(node: GroupNode) -> list[GroupNode]:
+    """Distribute a group's UNION blocks into the arm-product list of
+    union-free conjunctive groups: Join(P, U(a1,a2), U(b1,b2)) =
+    Union over {Join(P, a_i, b_j)}. Arms are already union-free (parse-time
+    expansion), so one product level suffices."""
+    if not node.unions:
+        return [node]
+    base = GroupNode(node.patterns, node.filters, node.optionals, [],
+                     node.binds, node.values)
+    out = []
+    for combo in product(*node.unions):
+        g = base
+        for arm in combo:
+            g = _merge_nodes(g, arm)
+        out.append(g)
+    return out
 
 
 @dataclass(frozen=True)
@@ -293,8 +356,8 @@ class Query:
     delete_template: list[tuple[Term, Term, Term]] | None = None
     insert_template: list[tuple[Term, Term, Term]] | None = None
     # group algebra: OPTIONAL {..} groups (left-joined on shared vars) and
-    # {..} UNION {..} blocks (each a list of arms); every group/arm is a
-    # (patterns, filters, sub_optionals) tuple — see _Parser.group
+    # {..} UNION {..} blocks (each a list of union-free GroupNode arms —
+    # nested UNIONs were DNF-expanded at parse time); see _Parser.group
     optionals: list[tuple] | None = None
     unions: list[list[tuple]] | None = None
     # SELECT-clause shape: projection items in order — ('var', name) |
@@ -302,12 +365,13 @@ class Query:
     # flat output-column-name list for compat
     proj_items: list[tuple] | None = None
     distinct: bool = False
-    # top-level-group extensions (parser rejects these inside
-    # OPTIONAL/UNION/MINUS/EXISTS subgroups — documented limitation)
+    # group extensions. binds/values are the TOP group's (subgroup BINDs/
+    # VALUES live in their GroupNode); MINUS / FILTER EXISTS / subqueries
+    # remain top-level-group-only (documented limitation)
     binds: list[tuple[Expr, str]] | None = None          # BIND(expr AS ?v)
     values_blocks: list[tuple[list[str], list[tuple]]] | None = None
-    minuses: list[tuple] | None = None                   # MINUS groups
-    exists_filters: list[tuple[bool, tuple]] | None = None  # (negated, group)
+    minuses: list["GroupNode"] | None = None             # MINUS groups
+    exists_filters: list[tuple[bool, "GroupNode"]] | None = None
     subqueries: list["Query"] | None = None              # { SELECT ... } blocks
     # solution modifiers
     group_by: list[str] | None = None
@@ -356,10 +420,8 @@ class _Parser:
     def __init__(self, text: str):
         text = _strip_comments(text)
         self._group_depth = 0
-        self._binds: list[tuple[Expr, str]] = []
-        self._values: list[tuple[list[str], list[tuple]]] = []
-        self._minuses: list[tuple] = []
-        self._exists: list[tuple[bool, tuple]] = []
+        self._minuses: list[GroupNode] = []
+        self._exists: list[tuple[bool, GroupNode]] = []
         self._subqueries: list["Query"] = []
         self.prefixes: dict[str, str] = {}
         for m in re.finditer(
@@ -463,35 +525,35 @@ class _Parser:
             raise ValueError("SPARQL parse: variables not allowed inside paths")
         return PathNode("iri", iri=t.value)
 
-    def group(self) -> tuple[list[Pattern], list, list, list]:
-        """Parse { ... } into (patterns, filters, optionals, unions).
+    def group(self) -> GroupNode:
+        """Parse { ... } into a :class:`GroupNode`.
 
-        OPTIONAL groups nest: each optionals entry is
-        ``(patterns, filters, sub_optionals)`` where sub_optionals is the
-        same shape recursively (``OPTIONAL { .. OPTIONAL { .. } }``).
-        UNION arms are ``(patterns, filters, optionals)`` — an arm may
-        carry its own (nested) OPTIONAL groups; only a UNION nested
-        inside another UNION arm is still rejected. Multiple UNION
-        blocks per group are supported: the solver distributes the join
-        over the blocks' arm product, so every join stays an equi-join
-        on genuinely-bound vars (no null keys)."""
+        OPTIONAL groups nest to any depth and may carry their own UNION
+        blocks (solved as the union of the group's DNF combinations —
+        the left join into the outer solutions does NOT distribute, so
+        the union materializes first). UNION arms nest too: an arm's own
+        UNION blocks are expanded HERE into the arm product (:func:`_dnf`),
+        so every arm the solver sees is union-free and its bound-variable
+        set is static — no join ever sees a null key. BIND and VALUES are
+        group-scoped (allowed inside OPTIONAL groups and UNION arms);
+        subqueries, MINUS and FILTER EXISTS remain top-level-group-only."""
         self.expect("{")
         self._group_depth += 1
         top = self._group_depth == 1
-        patterns: list[Pattern] = []
-        filters: list[Filter] = []
-        optionals: list[tuple] = []
-        unions: list[list[tuple]] = []
-        def subgroup(kind: str):
-            sub_p, sub_f, sub_o, sub_u = self.group()
-            if sub_u:
-                raise ValueError(f"SPARQL parse: UNION nested in {kind} unsupported")
-            if not sub_p:
+        node = GroupNode()
+        patterns = node.patterns
+        filters = node.filters
+        optionals = node.optionals
+        unions = node.unions
+
+        def subgroup(kind: str) -> GroupNode:
+            sub = self.group()
+            if not sub.patterns and not sub.unions:
                 raise ValueError(f"SPARQL parse: empty {kind} group")
             # sub-group filters stay WITH the group: applied to its own
             # solutions before the join, so an OPTIONAL's filter cannot
             # discard outer rows (SPARQL filter scope)
-            return sub_p, sub_f, sub_o
+            return sub
 
         while self.peek() is not None and self.peek() != "}":
             if self.peek().lower() == "optional":
@@ -517,12 +579,20 @@ class _Parser:
                     self.next()
                 continue
             if self.peek() == "{":
-                arms = [subgroup("UNION")]
+                # each arm DNF-expands its own nested UNION blocks, so the
+                # block's arm list is flat and union-free (arbitrary nesting
+                # depth collapses here)
+                arms = list(_dnf(subgroup("UNION")))
+                n_blocks = 1
                 while self.peek() is not None and self.peek().lower() == "union":
                     self.next()
-                    arms.append(subgroup("UNION"))
-                if len(arms) < 2:
+                    arms.extend(_dnf(subgroup("UNION")))
+                    n_blocks += 1
+                if n_blocks < 2:
                     raise ValueError("SPARQL parse: bare group braces need UNION")
+                for arm in arms:
+                    if not arm.patterns:
+                        raise ValueError("SPARQL parse: empty UNION arm")
                 unions.append(arms)
                 if self.peek() == ".":
                     self.next()
@@ -542,7 +612,7 @@ class _Parser:
                     self.next()
                     negated = True
                 self.expect("exists")
-                self._exists.append((negated, self._simple_group("FILTER EXISTS")))
+                self._exists.append((negated, subgroup("FILTER EXISTS")))
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -552,32 +622,24 @@ class _Parser:
                         "SPARQL parse: MINUS supported in the top-level group only"
                     )
                 self.next()
-                self._minuses.append(self._simple_group("MINUS"))
+                self._minuses.append(subgroup("MINUS"))
                 if self.peek() == ".":
                     self.next()
                 continue
             if kw == "bind":
-                if not top:
-                    raise ValueError(
-                        "SPARQL parse: BIND supported in the top-level group only"
-                    )
                 self.next()
                 self.expect("(")
                 expr = self._expr()
                 self.expect("as")
                 var = self._filter_var()
                 self.expect(")")
-                self._binds.append((expr, var))
+                node.binds.append((expr, var))
                 if self.peek() == ".":
                     self.next()
                 continue
             if kw == "values":
-                if not top:
-                    raise ValueError(
-                        "SPARQL parse: VALUES supported in the top-level group only"
-                    )
                 self.next()
-                self._values.append(self._values_block())
+                node.values.append(self._values_block())
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -593,27 +655,17 @@ class _Parser:
                 self.next()
         self.expect("}")
         self._group_depth -= 1
-        return patterns, filters, optionals, unions
-
-    def _simple_group(self, kind: str) -> tuple:
-        """A MINUS / FILTER EXISTS group: BGP + filters only."""
-        p, f, o, u = self.group()
-        if o or u:
-            raise ValueError(
-                f"SPARQL parse: OPTIONAL/UNION inside {kind} unsupported"
-            )
-        if not p:
-            raise ValueError(f"SPARQL parse: empty {kind} group")
-        return p, f
+        return node
 
     def _values_block(self) -> tuple[list[str], list[tuple]]:
         """``VALUES ?v { t... }`` or ``VALUES (?a ?b) { (t t) ... }``.
-        UNDEF is rejected (its compatible-with-anything semantics would
-        need per-row OR joins)."""
-        def value_term() -> str:
+        ``UNDEF`` parses to None — the solver joins each row on its
+        DEFINED columns only (rows grouped by defined-mask, so every
+        join stays an equi-join; see :func:`_values_join`)."""
+        def value_term() -> str | None:
             tok = self.next()
             if tok.lower() == "undef":
-                raise ValueError("SPARQL parse: UNDEF in VALUES unsupported")
+                return None
             if tok.startswith('"'):
                 return tok[1:-1]
             if re.fullmatch(_NUM_RE, tok):
@@ -835,9 +887,9 @@ class _Parser:
         OWN top-level-extension scope (a subquery's BIND/VALUES/MINUS/
         EXISTS belong to the subquery, not the outer query)."""
         if sub:
-            outer = (self._binds, self._values, self._minuses, self._exists,
+            outer = (self._minuses, self._exists,
                      self._subqueries, self._group_depth)
-            self._binds, self._values, self._minuses, self._exists = [], [], [], []
+            self._minuses, self._exists = [], []
             self._subqueries = []
             self._group_depth = 0
         try:
@@ -889,7 +941,7 @@ class _Parser:
             if not star and not proj_items:
                 raise ValueError("SPARQL parse: empty SELECT projection")
             self.expect("where")
-            patterns, filters, optionals, unions = self.group()
+            node = self.group()
             group_by, having, order_by, limit, offset = self._modifiers(
                 stop_at_brace=sub
             )
@@ -898,18 +950,18 @@ class _Parser:
                 (it[1].alias if it[0] == "agg" else it[2])
                 for it in proj_items
             ]
-            return Query("select", projection, [], patterns, filters,
-                         optionals=optionals, unions=unions,
+            return Query("select", projection, [], node.patterns, node.filters,
+                         optionals=node.optionals, unions=node.unions,
                          proj_items=None if star else proj_items,
                          distinct=distinct,
-                         binds=self._binds, values_blocks=self._values,
+                         binds=node.binds, values_blocks=node.values,
                          minuses=self._minuses, exists_filters=self._exists,
                          subqueries=self._subqueries,
                          group_by=group_by, having=having, order_by=order_by,
                          limit=limit, offset=offset)
         finally:
             if sub:
-                (self._binds, self._values, self._minuses, self._exists,
+                (self._minuses, self._exists,
                  self._subqueries, self._group_depth) = outer
 
     def _parse_non_select(self, form: str) -> Query:
@@ -924,7 +976,7 @@ class _Parser:
             self.expect("}")
             if self.peek() and self.peek().lower() == "where":
                 self.next()
-            patterns, filters, optionals, unions = self.group()
+            node = self.group()
             group_by, having, order_by, limit, offset = self._modifiers()
             if group_by or having or order_by or offset is not None:
                 raise ValueError(
@@ -932,22 +984,22 @@ class _Parser:
                     "(GROUP BY/HAVING/ORDER BY/OFFSET have no meaning for "
                     "an unordered graph result)"
                 )
-            return Query("construct", [], template, patterns, filters,
-                         optionals=optionals, unions=unions,
-                         binds=self._binds, values_blocks=self._values,
+            return Query("construct", [], template, node.patterns, node.filters,
+                         optionals=node.optionals, unions=node.unions,
+                         binds=node.binds, values_blocks=node.values,
                          minuses=self._minuses, exists_filters=self._exists,
                          limit=limit)
         if form == "ask":
             if self.peek() and self.peek().lower() == "where":
                 self.next()
-            patterns, filters, optionals, unions = self.group()
+            node = self.group()
             if self.peek() is not None:
                 raise ValueError(
                     "SPARQL parse: ASK takes no solution modifiers"
                 )
-            return Query("ask", [], [], patterns, filters,
-                         optionals=optionals, unions=unions,
-                         binds=self._binds, values_blocks=self._values,
+            return Query("ask", [], [], node.patterns, node.filters,
+                         optionals=node.optionals, unions=node.unions,
+                         binds=node.binds, values_blocks=node.values,
                          minuses=self._minuses, exists_filters=self._exists)
         if form == "describe":
             tok = self.peek()
@@ -956,15 +1008,15 @@ class _Parser:
             if tok.startswith("?"):
                 var = self._filter_var()
                 self.expect("where")
-                patterns, filters, optionals, unions = self.group()
+                node = self.group()
                 group_by, having, order_by, limit, offset = self._modifiers()
                 if group_by or having or order_by or offset is not None:
                     raise ValueError(
                         "SPARQL parse: DESCRIBE supports LIMIT only"
                     )
-                return Query("describe", [var], [], patterns, filters,
-                             optionals=optionals, unions=unions,
-                             binds=self._binds, values_blocks=self._values,
+                return Query("describe", [var], [], node.patterns, node.filters,
+                             optionals=node.optionals, unions=node.unions,
+                             binds=node.binds, values_blocks=node.values,
                              minuses=self._minuses,
                              exists_filters=self._exists, limit=limit)
             # DESCRIBE <iri> [<iri> ...] — no WHERE clause; the iri list
@@ -1095,9 +1147,13 @@ class _Parser:
         if form == "delete" and nxt is not None and nxt.lower() == "where":
             # DELETE WHERE { P } — the pattern doubles as the template
             self.next()
-            patterns, filters, _opt, _uni = self.group()
-            if _opt or _uni:
-                raise ValueError("SPARQL parse: OPTIONAL/UNION not allowed in DELETE WHERE")
+            node = self.group()
+            if node.optionals or node.unions or node.binds or node.values:
+                raise ValueError(
+                    "SPARQL parse: DELETE WHERE takes a plain BGP "
+                    "(no OPTIONAL/UNION/BIND/VALUES)"
+                )
+            patterns, filters = node.patterns, node.filters
             delete_template = []
             for pat in patterns:
                 if isinstance(pat.path, Term):
@@ -1117,11 +1173,11 @@ class _Parser:
         else:
             insert_template = self.template_block()
         self.expect("where")
-        patterns, filters, optionals, unions = self.group()
-        return Query("update", [], [], patterns, filters,
+        node = self.group()
+        return Query("update", [], [], node.patterns, node.filters,
                      delete_template, insert_template,
-                     optionals=optionals, unions=unions,
-                     binds=self._binds, values_blocks=self._values,
+                     optionals=node.optionals, unions=node.unions,
+                     binds=node.binds, values_blocks=node.values,
                      minuses=self._minuses, exists_filters=self._exists)
 
 
@@ -1152,8 +1208,10 @@ def _path_relation(triples: DataFrame, node: PathNode) -> DataFrame:
     docstring): ``star``/``plus`` evaluate to the transitive closure of the
     sub-path's relation WITHOUT reflexive pairs; a star or ``?`` in
     SEQUENCE position contributes its zero-length arm as ``R ∪ R∘TC(q)``.
-    A leading/bare ``p?`` has no bounded domain for the zero-length arm and
-    raises."""
+    A leading/bare ``p?`` drops its zero-length arm (= ``R_p``), the same
+    convention as a leading/bare ``p*`` dropping reflexive pairs — the
+    zero-length arm's domain (every term in the graph) is never
+    materialized."""
     from phenoscape_owl_tools_spark.operators.closure import transitive_closure
 
     leaves = _alt_leaf_iris(node)
@@ -1175,23 +1233,16 @@ def _path_relation(triples: DataFrame, node: PathNode) -> DataFrame:
             sub.withColumnRenamed("s", "sub").withColumnRenamed("o", "sup")
         ).select(F.col("sub").alias("s"), F.col("sup").alias("o"))
     if node.op == "opt":
-        raise ValueError(
-            "SPARQL evaluate: zero-or-one path 'p?' needs a sequence context "
-            "for its zero-length arm (bare/leading 'p?' has no bounded domain)"
-        )
+        # bare p? — zero-length arm dropped (KB-build convention, docstring)
+        return _path_relation(triples, node.kids[0])
     assert node.op == "seq", node.op
     rel: DataFrame | None = None
     for kid in node.kids:
         zero_ok = kid.op in ("star", "opt")
         step = _path_relation(triples, kid.kids[0] if kid.op == "opt" else kid)
         if rel is None:
-            if kid.op == "opt":
-                raise ValueError(
-                    "SPARQL evaluate: leading 'p?' in a sequence is unsupported "
-                    "(zero-length arm has no bounded domain)"
-                )
-            # leading elem; for a star this is the closure WITHOUT trivial
-            # reflexive pairs (KB-build convention, module docstring)
+            # leading elem; for a star/? this is the relation WITHOUT its
+            # zero-length arm (KB-build convention, module docstring)
             rel = step
         else:
             nxt = step.select(F.col("s").alias("m"), F.col("o").alias("o2"))
@@ -1415,31 +1466,132 @@ def _merge(bound: DataFrame | None, other: DataFrame, how: str = "inner") -> Dat
     return bound.join(other, on=shared, how=how)
 
 
-def _solve_optional(triples: DataFrame, opt: tuple) -> DataFrame:
-    """Solve one OPTIONAL group — its BGP + filters, then its own nested
-    OPTIONALs left-merged recursively (an inner OPTIONAL extends the
-    group's solutions; it cannot remove them)."""
-    opt_p, opt_f, sub_opts = opt
-    bound = _join_patterns(triples, opt_p, opt_f)
-    for sub in sub_opts:
-        bound = _merge(bound, _solve_optional(triples, sub), how="left")
+def _apply_binds(bound: DataFrame, binds: list) -> DataFrame:
+    """BIND(expr AS ?v) extends solutions in place; a BIND may reference
+    earlier BIND targets (list order = textual order within the group)."""
+    for expr, var in binds or []:
+        if var in bound.columns:
+            raise ValueError(f"SPARQL: BIND target ?{var} is already bound")
+        missing = [v for v in expr.vars if v not in bound.columns]
+        if missing:
+            raise ValueError(
+                "SPARQL: BIND expression references unbound variable(s): "
+                + ", ".join("?" + v for v in missing)
+            )
+        bound = bound.withColumn(var, expr.column())
     return bound
+
+
+def _values_join(bound: DataFrame, names: list[str], rows: list[tuple]) -> DataFrame:
+    """Join inline VALUES data. UNDEF (None) cells make a row compatible
+    with ANY binding of that var — expressed without null join keys by
+    grouping rows by their defined-column mask and equi-joining each mask
+    group on its defined columns only, then unioning (vars a mask leaves
+    undefined surface as nulls = SPARQL's unbound). Inline data is tiny by
+    construction — always broadcast, never shuffle."""
+    by_mask: dict[tuple, list] = {}
+    for r in rows:
+        by_mask.setdefault(tuple(v is not None for v in r), []).append(r)
+    parts = []
+    for mask, rs in by_mask.items():
+        cols = [n for n, m in zip(names, mask) if m]
+        if not cols:
+            # an all-UNDEF row constrains nothing: every solution survives
+            parts.append(bound)
+            continue
+        vdf = bound.sparkSession.createDataFrame(
+            [tuple(v for v in r if v is not None) for r in rs],
+            schema=", ".join(f"`{n}` string" for n in cols),
+        ).dropDuplicates()
+        parts.append(_merge(bound, F.broadcast(vdf)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _merge_checked(bound: DataFrame | None, sol: DataFrame,
+                   definite: frozenset, how: str = "inner") -> DataFrame:
+    """Merge a subgroup's solution into the accumulated solutions.
+
+    Join keys are the shared columns; a shared column the subgroup binds
+    only SOMETIMES (an OPTIONAL extension, or a var missing from some
+    UNION arm) would put nulls in a join key — SPARQL's compatible-join
+    treats unbound as compatible-with-anything, which an equi-join cannot
+    express — so that statically-detectable case raises instead of
+    silently dropping solutions."""
+    if bound is None:
+        return sol
+    maybe = sorted(set(bound.columns) & set(sol.columns) - definite)
+    if maybe:
+        raise ValueError(
+            "SPARQL: variable(s) "
+            + ", ".join("?" + v for v in maybe)
+            + " are shared with the outer group but only partially bound "
+            "inside it (OPTIONAL extension or missing from a UNION arm); "
+            "an unbound-compatible join is not expressible as an equi-join "
+            "— bind them in every arm / outside the OPTIONAL"
+        )
+    return _merge(bound, sol, how=how)
+
+
+def _group_solution(triples: DataFrame, node: "GroupNode"
+                    ) -> tuple[DataFrame, frozenset]:
+    """Solve one subgroup (OPTIONAL / UNION arm / MINUS / EXISTS body)
+    independently of the outer solutions.
+
+    The group's UNION blocks expand to their DNF combinations; each
+    combination is patterns-join → BIND → VALUES → filters → nested
+    OPTIONALs, then the combinations union (allowMissingColumns: vars a
+    combination never binds become nulls = unbound). Returns
+    ``(frame, definite_vars)`` where definite_vars are bound in EVERY
+    solution row — callers use them to keep join keys null-free
+    (:func:`_merge_checked`)."""
+    frames, defs = [], []
+    for c in _dnf(node):
+        if not c.patterns:
+            raise ValueError(
+                "SPARQL: a group needs at least one triple pattern"
+            )
+        df = _join_patterns(triples, c.patterns)
+        df = _apply_binds(df, c.binds)
+        for names, rows in c.values:
+            df = _values_join(df, names, rows)
+        df = _apply_filters(df, c.filters)
+        definite: set[str] = set()
+        for p in c.patterns:
+            definite.update(p.vars)
+        definite.update(v for _, v in c.binds)
+        for names, rows in c.values:
+            definite.update(
+                n for i, n in enumerate(names)
+                if all(r[i] is not None for r in rows)
+            )
+        for opt in c.optionals:
+            sol, sub_def = _group_solution(triples, opt)
+            df = _merge_checked(df, sol, sub_def, how="left")
+        frames.append(df)
+        defs.append(definite)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out, frozenset(set.intersection(*defs))
 
 
 def _solve(triples: DataFrame, query: Query) -> DataFrame:
     """Join the BGP's pattern bindings into one solution frame.
 
     Group algebra: UNION blocks distribute over the join — Join(P, U(a1,
-    a2), U(b1, b2)) = U over the arm PRODUCT of Join(P, a_i, b_j). Each
-    combination is solved with every arm's own filters, then the
-    combinations union (vars a combination never binds become nulls =
-    SPARQL's unbound). Joining per-combination rather than after the
-    union keeps every join an equi-join on genuinely bound vars — no null
-    keys, which is why multiple blocks are safe. OPTIONAL groups (possibly
-    nested) left-join on their shared vars afterwards.
+    a2), U(b1, b2)) = U over the arm PRODUCT of Join(P, a_i, b_j) (nested
+    UNIONs were already flattened into the arm lists at parse time). Each
+    combination joins every arm's full solution (with the arm's own
+    filters/BINDs/VALUES/OPTIONALs), then the combinations union (vars a
+    combination never binds become nulls = SPARQL's unbound). Joining
+    per-combination rather than after the union keeps every join an
+    equi-join on definitely-bound vars — no null keys. OPTIONAL groups
+    (possibly nested, possibly with their own UNIONs) left-join on their
+    shared vars afterwards.
     """
-    from itertools import product
-
     base = _join_patterns(triples, query.patterns) if query.patterns else None
     for sq in query.subqueries or []:
         # a subquery is a complete SELECT evaluated bottom-up (its own
@@ -1451,10 +1603,8 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
         for arm_combo in product(*query.unions):
             bound = base
             for arm in arm_combo:
-                # an arm has the same (patterns, filters, optionals) shape
-                # as an OPTIONAL group — its own optionals left-merge into
-                # the arm's solutions BEFORE the arm joins the base
-                bound = _merge(bound, _solve_optional(triples, arm))
+                sol, defs = _group_solution(triples, arm)
+                bound = _merge_checked(bound, sol, defs)
             combos.append(bound)
         u = combos[0]
         for f in combos[1:]:
@@ -1463,40 +1613,44 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
     else:
         bound = base
     for opt in query.optionals or []:
-        bound = _merge(bound, _solve_optional(triples, opt), how="left")
+        sol, defs = _group_solution(triples, opt)
+        bound = _merge_checked(bound, sol, defs, how="left")
     assert bound is not None
     # top-level group extensions, in algebra order: BIND extends the
     # solution (filters may reference its vars), VALUES joins inline data,
     # then filters, then EXISTS semi-/anti-joins, then MINUS.
-    for expr, var in query.binds or []:
-        if var in bound.columns:
-            raise ValueError(f"SPARQL: BIND target ?{var} is already bound")
-        missing = [v for v in expr.vars if v not in bound.columns]
-        if missing:
-            raise ValueError(
-                "SPARQL: BIND expression references unbound variable(s): "
-                + ", ".join("?" + v for v in missing)
-            )
-        bound = bound.withColumn(var, expr.column())
+    bound = _apply_binds(bound, query.binds)
     for names, rows in query.values_blocks or []:
-        vdf = triples.sparkSession.createDataFrame(
-            rows, schema=", ".join(f"`{n}` string" for n in names)
-        ).dropDuplicates()
-        # inline data is tiny by construction — broadcast, never shuffle
-        bound = _merge(bound, F.broadcast(vdf))
+        bound = _values_join(bound, names, rows)
     bound = _apply_filters(bound, query.filters)
-    for negated, (ex_p, ex_f) in query.exists_filters or []:
-        other = _join_patterns(triples, ex_p, ex_f)
+    for negated, ex_node in query.exists_filters or []:
+        other, defs = _group_solution(triples, ex_node)
         shared = sorted(set(bound.columns) & set(other.columns))
+        maybe = sorted(set(shared) - defs)
+        if maybe:
+            raise ValueError(
+                "SPARQL: FILTER EXISTS correlates on "
+                + ", ".join("?" + v for v in maybe)
+                + " which the group binds only partially — bind them in "
+                "every UNION arm / outside the OPTIONAL"
+            )
         how = "left_anti" if negated else "left_semi"
         if shared:
             bound = bound.join(other, on=shared, how=how)
         else:
             # uncorrelated EXISTS: keep all rows iff the group is non-empty
             bound = bound.join(other.limit(1), F.lit(True), how)
-    for mi_p, mi_f in query.minuses or []:
-        other = _join_patterns(triples, mi_p, mi_f)
+    for mi_node in query.minuses or []:
+        other, defs = _group_solution(triples, mi_node)
         shared = sorted(set(bound.columns) & set(other.columns))
+        maybe = sorted(set(shared) - defs)
+        if maybe:
+            raise ValueError(
+                "SPARQL: MINUS correlates on "
+                + ", ".join("?" + v for v in maybe)
+                + " which the group binds only partially — bind them in "
+                "every UNION arm / outside the OPTIONAL"
+            )
         if shared:  # disjoint-domain MINUS removes nothing (SPARQL spec)
             bound = bound.join(
                 other.select(*shared).dropDuplicates(), on=shared, how="left_anti"

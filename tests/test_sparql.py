@@ -424,14 +424,14 @@ def test_path_zero_or_one_mid_sequence(spark):
     assert got == {(EX + "a", EX + "b"), (EX + "a", EX + "c")}
 
 
-def test_path_bare_zero_or_one_raises(spark):
-    import pytest
-
+def test_path_bare_zero_or_one_convention(spark):
+    """Bare p? drops its zero-length arm (= R_p) — the same KB-build
+    convention as bare p* dropping reflexive pairs."""
     t = _triples(spark, [(EX + "a", EX + "p", EX + "b")])
-    with pytest.raises(ValueError, match="zero-or-one|bounded domain"):
-        sparql.evaluate(
-            t, f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s ex:p? ?o . }}"
-        ).collect()
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(
+        t, f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s ex:p? ?o . }}"
+    ).collect()}
+    assert got == {(EX + "a", EX + "b")}
 
 
 def test_filter_not_equal(spark):
@@ -620,14 +620,17 @@ def test_nested_optional(spark):
     }
 
 
-def test_union_inside_union_arm_still_rejected():
-    import pytest
-
-    with pytest.raises(ValueError, match="UNION"):
-        sparql.parse(
-            "SELECT ?s WHERE { { ?s ?p ?o . { ?s ?p ?x . } UNION "
-            "{ ?s ?q ?x . } } UNION { ?s ?r ?o . } }"
-        )
+def test_union_inside_union_arm_flattens():
+    """A UNION inside a UNION arm DNF-expands at parse time: the arm with
+    its own 2-arm block contributes 2 merged arms, plus the sibling = 3."""
+    q = sparql.parse(
+        "SELECT ?s WHERE { { ?s ?p ?o . { ?s ?p ?x . } UNION "
+        "{ ?s ?q ?x . } } UNION { ?s ?r ?o . } }"
+    )
+    assert len(q.unions) == 1 and len(q.unions[0]) == 3
+    assert all(not arm.unions for arm in q.unions[0])
+    # the merged arms carry the outer arm's pattern plus one inner arm's
+    assert [len(arm.patterns) for arm in q.unions[0]] == [2, 2, 1]
 
 
 def test_comment_hash_inside_regex_string():
@@ -779,12 +782,31 @@ def test_values_multi_var(spark):
         EX + "m1", EX + "m3"]
 
 
-def test_values_undef_rejected():
-    import pytest
-    with pytest.raises(ValueError, match="UNDEF"):
-        sparql.parse(
-            'SELECT ?s WHERE { ?s ?p ?o . VALUES (?s ?o) { (UNDEF "x") } }'
-        )
+def test_values_undef_wildcard(spark):
+    """UNDEF joins on the row's defined columns only: (UNDEF "7") matches
+    any ?g with score 7; ("a" UNDEF) matches group a with any score."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g . "
+         "?m ex:score ?sc . "
+         'VALUES (?g ?sc) { (UNDEF "7") ("a" UNDEF) } } ORDER BY ?m')
+    assert [r["m"] for r in sparql.evaluate(t, q).collect()] == [
+        EX + "m1", EX + "m2", EX + "m3"]
+
+
+def test_values_undef_unbound_column(spark):
+    """A VALUES var the pattern does not bind stays unbound (null) for
+    UNDEF rows and bound for defined rows — per SPARQL inline data."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m ?tag WHERE {{ "
+         f'?m ex:group "a" . VALUES (?m ?tag) {{ (ex:m1 "one") '
+         f"(UNDEF UNDEF) }} }} ORDER BY ?m ?tag")
+    got = [(r["m"], r["tag"]) for r in sparql.evaluate(t, q).collect()]
+    # m1 matches the specific row (tag bound) AND the all-UNDEF row
+    # (tag unbound); m2 matches only the all-UNDEF row
+    assert (EX + "m1", "one") in got
+    assert (EX + "m1", None) in got
+    assert (EX + "m2", None) in got
+    assert len(got) == 3
 
 
 def test_minus(spark):
@@ -861,13 +883,28 @@ def test_having_without_aggregation_raises(spark):
         )
 
 
-def test_bind_inside_optional_rejected():
-    import pytest
-    with pytest.raises(ValueError, match="top-level"):
-        sparql.parse(
-            "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { ?s ?q ?r . "
-            "BIND(?r AS ?x) } }"
-        )
+def test_bind_inside_optional(spark):
+    """BIND is group-scoped: inside an OPTIONAL it extends the optional's
+    solutions (rows the optional does not match keep the var unbound)."""
+    t = _triples(spark, [
+        (EX + "m1", EX + "p", "x"), (EX + "m2", EX + "p", "y"),
+        (EX + "m1", EX + "q", "5"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s ?twice WHERE {{ ?s ex:p ?o . "
+         "OPTIONAL { ?s ex:q ?n . BIND((?n + ?n) AS ?twice) } } ORDER BY ?s")
+    got = [(r["s"], r["twice"]) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "m1", 10.0), (EX + "m2", None)]
+
+
+def test_bind_inside_union_arm(spark):
+    t = _triples(spark, [
+        (EX + "m1", EX + "p", "x"), (EX + "m2", EX + "q", "y"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s ?kind WHERE {{ "
+         '{ ?s ex:p ?o . BIND("P" AS ?kind) } UNION '
+         '{ ?s ex:q ?o . BIND("Q" AS ?kind) } } ORDER BY ?s')
+    got = [(r["s"], r["kind"]) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "m1", "P"), (EX + "m2", "Q")]
 
 
 def test_construct_limit(spark):
@@ -981,3 +1018,143 @@ def test_subquery_inside_union_rejected():
             "SELECT ?s WHERE { { { SELECT ?s WHERE { ?s ?p ?o } } } "
             "UNION { ?s ?q ?r } }"
         )
+
+
+# -- recursive group algebra (round 4) --------------------------------------
+
+
+def test_union_nested_in_union_arm(spark):
+    """A UNION inside a UNION arm flattens into the arm product at parse
+    time — three leaf arms, each a plain equi-join against the base."""
+    t = _triples(spark, [
+        (EX + "m1", EX + "p", "x"), (EX + "m2", EX + "q", "y"),
+        (EX + "m3", EX + "r", "z"), (EX + "m4", EX + "s", "w"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ "
+         "{ ?s ex:p ?o } UNION { { ?s ex:q ?o } UNION { ?s ex:r ?o } } }"
+         " ORDER BY ?s")
+    got = [r["s"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m1", EX + "m2", EX + "m3"]
+    # the parse produced one block of three union-free arms
+    parsed = sparql.parse(q)
+    assert len(parsed.unions) == 1 and len(parsed.unions[0]) == 3
+    assert all(not arm.unions for arm in parsed.unions[0])
+
+
+def test_union_three_deep(spark):
+    t = _triples(spark, [
+        (EX + "m1", EX + "a", "1"), (EX + "m2", EX + "b", "1"),
+        (EX + "m3", EX + "c", "1"), (EX + "m4", EX + "d", "1"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ "
+         "{ ?s ex:a ?o } UNION { { ?s ex:b ?o } UNION "
+         "{ { ?s ex:c ?o } UNION { ?s ex:d ?o } } } } ORDER BY ?s")
+    got = [r["s"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m1", EX + "m2", EX + "m3", EX + "m4"]
+
+
+def test_union_blocks_inside_arm_product(spark):
+    """An arm carrying TWO of its own UNION blocks expands to their
+    product (2x2 = 4 leaf arms plus the sibling arm = 5)."""
+    rows = [(EX + "m1", EX + p, "1") for p in ("a", "c")]
+    rows += [(EX + "m2", EX + p, "1") for p in ("b", "d")]
+    rows += [(EX + "m3", EX + p, "1") for p in ("a", "d")]
+    rows += [(EX + "m9", EX + "z", "1")]
+    t = _triples(spark, rows)
+    q = (f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ "
+         "{ { ?s ex:a ?x } UNION { ?s ex:b ?x } "
+         "  { ?s ex:c ?y } UNION { ?s ex:d ?y } } "
+         "UNION { ?s ex:z ?x } } ORDER BY ?s")
+    parsed = sparql.parse(q)
+    assert len(parsed.unions) == 1 and len(parsed.unions[0]) == 5
+    got = [r["s"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m1", EX + "m2", EX + "m3", EX + "m9"]
+
+
+def test_union_inside_optional(spark):
+    """OPTIONAL { A UNION B }: the union materializes INSIDE the optional
+    (left join does not distribute over union)."""
+    t = _triples(spark, [
+        (EX + "m1", EX + "p", "x"), (EX + "m2", EX + "p", "y"),
+        (EX + "m3", EX + "p", "z"),
+        (EX + "m1", EX + "q", "Q1"), (EX + "m2", EX + "r", "R2"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s ?v WHERE {{ ?s ex:p ?o . "
+         "OPTIONAL { { ?s ex:q ?v } UNION { ?s ex:r ?v } } } ORDER BY ?s")
+    got = [(r["s"], r["v"]) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "m1", "Q1"), (EX + "m2", "R2"), (EX + "m3", None)]
+
+
+def test_optional_union_partial_shared_var_raises(spark):
+    """A var shared with the outer group but bound by only ONE union arm
+    inside the OPTIONAL would be a null join key — must raise, not
+    silently drop solutions."""
+    import pytest
+    t = _triples(spark, [(EX + "m1", EX + "p", "x")])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:p ?o . ?s ex:t ?v . "
+         "OPTIONAL { { ?s ex:q ?v } UNION { ?s ex:r ?w } } }")
+    with pytest.raises(ValueError, match="partially bound"):
+        sparql.evaluate(t, q).collect()
+
+
+def test_minus_with_union_inside(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g "
+         'MINUS { { ?m ex:group "c" } UNION { ?m ex:score "3" } } } '
+         "ORDER BY ?m")
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m2", EX + "m3", EX + "m4"]
+
+
+def test_minus_with_optional_inside(spark):
+    """The OPTIONAL part of a MINUS group extends but never removes the
+    group's solutions — the anti-join keys stay the definite vars."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g "
+         'MINUS { ?m ex:group "c" . OPTIONAL { ?m ex:score ?sc } } } '
+         "ORDER BY ?m")
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m1", EX + "m2", EX + "m3", EX + "m4"]
+
+
+def test_exists_with_union_inside(spark):
+    t = _triples(spark, [
+        (EX + "m1", EX + "p", "x"), (EX + "m2", EX + "p", "y"),
+        (EX + "m3", EX + "p", "z"),
+        (EX + "m1", EX + "flag", "1"), (EX + "m2", EX + "mark", "1"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:p ?o . "
+         "FILTER EXISTS { { ?m ex:flag ?f } UNION { ?m ex:mark ?f } } }"
+         " ORDER BY ?m")
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m1", EX + "m2"]
+    q2 = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    got2 = [r["m"] for r in sparql.evaluate(t, q2).collect()]
+    assert got2 == [EX + "m3"]
+
+
+def test_values_inside_union_arm(spark):
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ "
+         '{ ?m ex:group ?g . VALUES ?g { "a" } } UNION '
+         '{ ?m ex:score ?sc . VALUES ?sc { "9" } } } ORDER BY ?m')
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m1", EX + "m2", EX + "m5"]
+
+
+def test_bare_zero_or_one_path(spark):
+    """Bare/leading p? drops its zero-length arm (= R_p), mirroring the
+    bare p* convention; mid-sequence p? keeps the zero-length hop."""
+    t = _triples(spark, [
+        (EX + "a", EX + "p", EX + "b"), (EX + "b", EX + "q", EX + "c"),
+        (EX + "x", EX + "q", EX + "y"),
+    ])
+    bare = (f"PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ ?s ex:p? ?o }}")
+    got = [(r["s"], r["o"]) for r in sparql.evaluate(t, bare).collect()]
+    assert got == [(EX + "a", EX + "b")]
+    mid = (f"PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ ?s ex:q/ex:p? ?o }}"
+           " ORDER BY ?s")
+    got = [(r["s"], r["o"]) for r in sparql.evaluate(t, mid).collect()]
+    # q then optionally p: (b,c), (x,y) — c and y have no outgoing p, so
+    # only the zero-length arms survive
+    assert got == [(EX + "b", EX + "c"), (EX + "x", EX + "y")]
