@@ -54,12 +54,13 @@ this module covers the language subset its shipped queries actually use
   ``+ - * /`` over double casts, ``CONCAT``, ``STR``) and ``VALUES``
   inline data (single- and multi-var; ``UNDEF`` joins on the row's
   defined columns only via defined-mask grouping — still pure equi-joins;
-  always broadcast) anywhere a group appears, including OPTIONAL groups
-  and UNION arms; top-level-group only: ``MINUS { G }`` (left-anti on
-  shared vars; disjoint domains remove nothing, per spec) and
-  ``FILTER [NOT] EXISTS { G }`` (semi-/anti-join on shared vars;
-  uncorrelated groups degrade to a non-empty probe) — G a full group
-  (may contain OPTIONAL/UNION/BIND/VALUES),
+  always broadcast), ``MINUS { G }`` (left-anti on shared vars; disjoint
+  domains remove nothing, per spec) and ``FILTER [NOT] EXISTS { G }``
+  (semi-/anti-join on shared vars; uncorrelated groups degrade to a
+  non-empty probe) — all four anywhere a group appears, including
+  OPTIONAL groups and UNION arms, with G itself a full group (may
+  contain OPTIONAL/UNION/BIND/VALUES/MINUS/EXISTS); a group-scoped
+  MINUS/EXISTS correlates on the vars its OWN group binds,
 - triple patterns may use literal/numeric objects (``?m ex:group "c"``) —
   constants over the string-typed store,
 - ``{ SELECT ... }`` subqueries (top-level group): evaluated bottom-up
@@ -152,8 +153,10 @@ class GroupNode:
     union-free by construction: a UNION nested inside an arm is expanded
     at parse time into the arm product (:func:`_dnf`), so the solver only
     ever joins statically-known variable sets — no join sees a null key.
-    ``optionals`` nest to any depth. ``binds``/``values`` are group-scoped
-    (they extend THIS group's solutions)."""
+    ``optionals`` nest to any depth. ``binds``/``values``/``minuses``/
+    ``exists`` are group-scoped (they extend/filter THIS group's
+    solutions — a group-level MINUS or FILTER EXISTS correlates on the
+    variables its OWN group binds)."""
 
     patterns: list = dataclasses.field(default_factory=list)
     filters: list = dataclasses.field(default_factory=list)
@@ -161,6 +164,8 @@ class GroupNode:
     unions: list = dataclasses.field(default_factory=list)  # [[GroupNode]]
     binds: list = dataclasses.field(default_factory=list)  # [(Expr, var)]
     values: list = dataclasses.field(default_factory=list)  # [(names, rows)]
+    minuses: list = dataclasses.field(default_factory=list)  # [GroupNode]
+    exists: list = dataclasses.field(default_factory=list)  # [(neg, GroupNode)]
 
 
 def _merge_nodes(a: GroupNode, b: GroupNode) -> GroupNode:
@@ -169,7 +174,8 @@ def _merge_nodes(a: GroupNode, b: GroupNode) -> GroupNode:
     variables they name — joining first and filtering once is equivalent."""
     return GroupNode(a.patterns + b.patterns, a.filters + b.filters,
                      a.optionals + b.optionals, [],
-                     a.binds + b.binds, a.values + b.values)
+                     a.binds + b.binds, a.values + b.values,
+                     a.minuses + b.minuses, a.exists + b.exists)
 
 
 def _dnf(node: GroupNode) -> list[GroupNode]:
@@ -180,7 +186,7 @@ def _dnf(node: GroupNode) -> list[GroupNode]:
     if not node.unions:
         return [node]
     base = GroupNode(node.patterns, node.filters, node.optionals, [],
-                     node.binds, node.values)
+                     node.binds, node.values, node.minuses, node.exists)
     out = []
     for combo in product(*node.unions):
         g = base
@@ -365,9 +371,9 @@ class Query:
     # flat output-column-name list for compat
     proj_items: list[tuple] | None = None
     distinct: bool = False
-    # group extensions. binds/values are the TOP group's (subgroup BINDs/
-    # VALUES live in their GroupNode); MINUS / FILTER EXISTS / subqueries
-    # remain top-level-group-only (documented limitation)
+    # group extensions — the TOP group's (subgroup BIND/VALUES/MINUS/
+    # EXISTS live in their GroupNode); subqueries remain
+    # top-level-group-only (documented limitation)
     binds: list[tuple[Expr, str]] | None = None          # BIND(expr AS ?v)
     values_blocks: list[tuple[list[str], list[tuple]]] | None = None
     minuses: list["GroupNode"] | None = None             # MINUS groups
@@ -420,8 +426,6 @@ class _Parser:
     def __init__(self, text: str):
         text = _strip_comments(text)
         self._group_depth = 0
-        self._minuses: list[GroupNode] = []
-        self._exists: list[tuple[bool, GroupNode]] = []
         self._subqueries: list["Query"] = []
         self.prefixes: dict[str, str] = {}
         for m in re.finditer(
@@ -534,9 +538,9 @@ class _Parser:
         the union materializes first). UNION arms nest too: an arm's own
         UNION blocks are expanded HERE into the arm product (:func:`_dnf`),
         so every arm the solver sees is union-free and its bound-variable
-        set is static — no join ever sees a null key. BIND and VALUES are
-        group-scoped (allowed inside OPTIONAL groups and UNION arms);
-        subqueries, MINUS and FILTER EXISTS remain top-level-group-only."""
+        set is static — no join ever sees a null key. BIND, VALUES, MINUS
+        and FILTER EXISTS are group-scoped (allowed inside OPTIONAL groups
+        and UNION arms); subqueries remain top-level-group-only."""
         self.expect("{")
         self._group_depth += 1
         top = self._group_depth == 1
@@ -601,28 +605,19 @@ class _Parser:
             if kw == "filter" and self.i + 1 < len(self.toks) and self.toks[
                 self.i + 1
             ].lower() in ("exists", "not"):
-                if not top:
-                    raise ValueError(
-                        "SPARQL parse: FILTER EXISTS supported in the "
-                        "top-level group only"
-                    )
                 self.next()
                 negated = False
                 if self.peek().lower() == "not":
                     self.next()
                     negated = True
                 self.expect("exists")
-                self._exists.append((negated, subgroup("FILTER EXISTS")))
+                node.exists.append((negated, subgroup("FILTER EXISTS")))
                 if self.peek() == ".":
                     self.next()
                 continue
             if kw == "minus":
-                if not top:
-                    raise ValueError(
-                        "SPARQL parse: MINUS supported in the top-level group only"
-                    )
                 self.next()
-                self._minuses.append(subgroup("MINUS"))
+                node.minuses.append(subgroup("MINUS"))
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -887,9 +882,7 @@ class _Parser:
         OWN top-level-extension scope (a subquery's BIND/VALUES/MINUS/
         EXISTS belong to the subquery, not the outer query)."""
         if sub:
-            outer = (self._minuses, self._exists,
-                     self._subqueries, self._group_depth)
-            self._minuses, self._exists = [], []
+            outer = (self._subqueries, self._group_depth)
             self._subqueries = []
             self._group_depth = 0
         try:
@@ -955,14 +948,13 @@ class _Parser:
                          proj_items=None if star else proj_items,
                          distinct=distinct,
                          binds=node.binds, values_blocks=node.values,
-                         minuses=self._minuses, exists_filters=self._exists,
+                         minuses=node.minuses, exists_filters=node.exists,
                          subqueries=self._subqueries,
                          group_by=group_by, having=having, order_by=order_by,
                          limit=limit, offset=offset)
         finally:
             if sub:
-                (self._minuses, self._exists,
-                 self._subqueries, self._group_depth) = outer
+                (self._subqueries, self._group_depth) = outer
 
     def _parse_non_select(self, form: str) -> Query:
         if form == "construct":
@@ -987,7 +979,7 @@ class _Parser:
             return Query("construct", [], template, node.patterns, node.filters,
                          optionals=node.optionals, unions=node.unions,
                          binds=node.binds, values_blocks=node.values,
-                         minuses=self._minuses, exists_filters=self._exists,
+                         minuses=node.minuses, exists_filters=node.exists,
                          limit=limit)
         if form == "ask":
             if self.peek() and self.peek().lower() == "where":
@@ -1000,7 +992,7 @@ class _Parser:
             return Query("ask", [], [], node.patterns, node.filters,
                          optionals=node.optionals, unions=node.unions,
                          binds=node.binds, values_blocks=node.values,
-                         minuses=self._minuses, exists_filters=self._exists)
+                         minuses=node.minuses, exists_filters=node.exists)
         if form == "describe":
             tok = self.peek()
             if tok is None:
@@ -1017,8 +1009,8 @@ class _Parser:
                 return Query("describe", [var], [], node.patterns, node.filters,
                              optionals=node.optionals, unions=node.unions,
                              binds=node.binds, values_blocks=node.values,
-                             minuses=self._minuses,
-                             exists_filters=self._exists, limit=limit)
+                             minuses=node.minuses,
+                             exists_filters=node.exists, limit=limit)
             # DESCRIBE <iri> [<iri> ...] — no WHERE clause; the iri list
             # rides in `projection` (patterns empty distinguishes the form)
             iris = []
@@ -1148,10 +1140,11 @@ class _Parser:
             # DELETE WHERE { P } — the pattern doubles as the template
             self.next()
             node = self.group()
-            if node.optionals or node.unions or node.binds or node.values:
+            if (node.optionals or node.unions or node.binds or node.values
+                    or node.minuses or node.exists):
                 raise ValueError(
                     "SPARQL parse: DELETE WHERE takes a plain BGP "
-                    "(no OPTIONAL/UNION/BIND/VALUES)"
+                    "(no OPTIONAL/UNION/BIND/VALUES/MINUS/EXISTS)"
                 )
             patterns, filters = node.patterns, node.filters
             delete_template = []
@@ -1178,7 +1171,7 @@ class _Parser:
                      delete_template, insert_template,
                      optionals=node.optionals, unions=node.unions,
                      binds=node.binds, values_blocks=node.values,
-                     minuses=self._minuses, exists_filters=self._exists)
+                     minuses=node.minuses, exists_filters=node.exists)
 
 
 def parse(text: str) -> Query:
@@ -1535,6 +1528,47 @@ def _merge_checked(bound: DataFrame | None, sol: DataFrame,
     return _merge(bound, sol, how=how)
 
 
+def _apply_exists_minus(triples: DataFrame, bound: DataFrame,
+                        exists_filters: list, minuses: list) -> DataFrame:
+    """FILTER [NOT] EXISTS semi-/anti-joins, then MINUS anti-joins, over
+    the current solutions. Group-scoped: the bodies correlate on the vars
+    ``bound`` carries at this point. Shared vars the body binds only
+    partially raise (they would be null join keys)."""
+    for negated, ex_node in exists_filters or []:
+        other, defs = _group_solution(triples, ex_node)
+        shared = sorted(set(bound.columns) & set(other.columns))
+        maybe = sorted(set(shared) - defs)
+        if maybe:
+            raise ValueError(
+                "SPARQL: FILTER EXISTS correlates on "
+                + ", ".join("?" + v for v in maybe)
+                + " which the group binds only partially — bind them in "
+                "every UNION arm / outside the OPTIONAL"
+            )
+        how = "left_anti" if negated else "left_semi"
+        if shared:
+            bound = bound.join(other, on=shared, how=how)
+        else:
+            # uncorrelated EXISTS: keep all rows iff the group is non-empty
+            bound = bound.join(other.limit(1), F.lit(True), how)
+    for mi_node in minuses or []:
+        other, defs = _group_solution(triples, mi_node)
+        shared = sorted(set(bound.columns) & set(other.columns))
+        maybe = sorted(set(shared) - defs)
+        if maybe:
+            raise ValueError(
+                "SPARQL: MINUS correlates on "
+                + ", ".join("?" + v for v in maybe)
+                + " which the group binds only partially — bind them in "
+                "every UNION arm / outside the OPTIONAL"
+            )
+        if shared:  # disjoint-domain MINUS removes nothing (SPARQL spec)
+            bound = bound.join(
+                other.select(*shared).dropDuplicates(), on=shared, how="left_anti"
+            )
+    return bound
+
+
 def _group_solution(triples: DataFrame, node: "GroupNode"
                     ) -> tuple[DataFrame, frozenset]:
     """Solve one subgroup (OPTIONAL / UNION arm / MINUS / EXISTS body)
@@ -1570,6 +1604,7 @@ def _group_solution(triples: DataFrame, node: "GroupNode"
         for opt in c.optionals:
             sol, sub_def = _group_solution(triples, opt)
             df = _merge_checked(df, sol, sub_def, how="left")
+        df = _apply_exists_minus(triples, df, c.exists, c.minuses)
         frames.append(df)
         defs.append(definite)
     out = frames[0]
@@ -1623,39 +1658,8 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
     for names, rows in query.values_blocks or []:
         bound = _values_join(bound, names, rows)
     bound = _apply_filters(bound, query.filters)
-    for negated, ex_node in query.exists_filters or []:
-        other, defs = _group_solution(triples, ex_node)
-        shared = sorted(set(bound.columns) & set(other.columns))
-        maybe = sorted(set(shared) - defs)
-        if maybe:
-            raise ValueError(
-                "SPARQL: FILTER EXISTS correlates on "
-                + ", ".join("?" + v for v in maybe)
-                + " which the group binds only partially — bind them in "
-                "every UNION arm / outside the OPTIONAL"
-            )
-        how = "left_anti" if negated else "left_semi"
-        if shared:
-            bound = bound.join(other, on=shared, how=how)
-        else:
-            # uncorrelated EXISTS: keep all rows iff the group is non-empty
-            bound = bound.join(other.limit(1), F.lit(True), how)
-    for mi_node in query.minuses or []:
-        other, defs = _group_solution(triples, mi_node)
-        shared = sorted(set(bound.columns) & set(other.columns))
-        maybe = sorted(set(shared) - defs)
-        if maybe:
-            raise ValueError(
-                "SPARQL: MINUS correlates on "
-                + ", ".join("?" + v for v in maybe)
-                + " which the group binds only partially — bind them in "
-                "every UNION arm / outside the OPTIONAL"
-            )
-        if shared:  # disjoint-domain MINUS removes nothing (SPARQL spec)
-            bound = bound.join(
-                other.select(*shared).dropDuplicates(), on=shared, how="left_anti"
-            )
-    return bound
+    return _apply_exists_minus(triples, bound,
+                               query.exists_filters, query.minuses)
 
 
 def _instantiate(bound: DataFrame, template: list) -> DataFrame:

@@ -1158,3 +1158,57 @@ def test_bare_zero_or_one_path(spark):
     # q then optionally p: (b,c), (x,y) — c and y have no outgoing p, so
     # only the zero-length arms survive
     assert got == [(EX + "b", EX + "c"), (EX + "x", EX + "y")]
+
+
+def test_minus_inside_union_arm(spark):
+    """MINUS is group-scoped: a MINUS inside one UNION arm filters that
+    arm's solutions only; the other arm passes through untouched."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ "
+         '{ ?m ex:group "a" . MINUS { ?m ex:score "5" } } UNION '
+         '{ ?m ex:group "c" } } ORDER BY ?m')
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    # arm 1: group a minus score-5 => m1 only; arm 2: all of group c
+    assert got == [EX + "m1", EX + "m5", EX + "m6"]
+
+
+def test_exists_inside_optional_group(spark):
+    """FILTER EXISTS inside an OPTIONAL body restricts which optional
+    solutions extend the base — rows failing it stay, but unextended."""
+    t = _triples(spark, [
+        (EX + "m1", EX + "p", "x"), (EX + "m2", EX + "p", "y"),
+        (EX + "m1", EX + "lab", "L1"), (EX + "m2", EX + "lab", "L2"),
+        (EX + "m1", EX + "flag", "1"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?m ?l WHERE {{ ?m ex:p ?o . "
+         "OPTIONAL { ?m ex:lab ?l . FILTER EXISTS { ?m ex:flag ?f } } }"
+         " ORDER BY ?m")
+    got = [(r["m"], r["l"]) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "m1", "L1"), (EX + "m2", None)]
+
+
+def test_minus_inside_optional_group(spark):
+    t = _triples(spark, [
+        (EX + "m1", EX + "p", "x"), (EX + "m2", EX + "p", "y"),
+        (EX + "m1", EX + "lab", "L1"), (EX + "m2", EX + "lab", "L2"),
+        (EX + "m2", EX + "skip", "1"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?m ?l WHERE {{ ?m ex:p ?o . "
+         "OPTIONAL { ?m ex:lab ?l . MINUS { ?m ex:skip ?z } } }"
+         " ORDER BY ?m")
+    got = [(r["m"], r["l"]) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "m1", "L1"), (EX + "m2", None)]
+
+
+def test_nested_exists_inside_minus(spark):
+    """MINUS bodies are full groups: an EXISTS inside the MINUS group
+    narrows what gets subtracted."""
+    t = _scores_graph(spark)
+    extra = _triples(spark, [(EX + "m3", EX + "flag", "1")])
+    t = t.unionByName(extra)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g . "
+         'MINUS { ?m ex:group "b" . FILTER EXISTS { ?m ex:flag ?f } } }'
+         " ORDER BY ?m")
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    # only m3 (group b AND flagged) is subtracted; m4 (group b, no flag) stays
+    assert got == [EX + m for m in ["m1", "m2", "m4", "m5", "m6"]]
