@@ -61,12 +61,22 @@ this module covers the language subset its shipped queries actually use
   OPTIONAL groups and UNION arms, with G itself a full group (may
   contain OPTIONAL/UNION/BIND/VALUES/MINUS/EXISTS); a group-scoped
   MINUS/EXISTS correlates on the vars its OWN group binds,
+- left-join filter semantics: a FILTER inside an OPTIONAL group (and a
+  FILTER inside an EXISTS body) may reference ENCLOSING-group vars —
+  it becomes a join conjunct (the spec's ``LeftJoin(P1, P2, F)`` /
+  EXISTS substitution semantics), so an outer row failing the filter
+  survives unextended rather than being dropped; FILTERs apply at
+  end-of-group scope, so they also see the group's own OPTIONAL
+  extensions. Union-carrying groups still require their filters to bind
+  locally (deferral is union-free-only),
 - triple patterns may use literal/numeric objects (``?m ex:group "c"``) —
   constants over the string-typed store,
-- ``{ SELECT ... }`` subqueries (top-level group): evaluated bottom-up
-  with their own aggregation/modifier scope; only projected vars join the
-  outer solutions (SPARQL subquery scoping) — enables nested aggregation
-  ("members of groups whose total exceeds X"),
+- ``{ SELECT ... }`` subqueries (group-scoped — anywhere a group
+  appears, incl. OPTIONAL/UNION arms/MINUS/EXISTS bodies, and nestable):
+  evaluated bottom-up with their own aggregation/modifier scope; only
+  projected vars join the enclosing group's solutions (SPARQL subquery
+  scoping) — enables nested aggregation ("members of groups whose total
+  exceeds X"),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
   ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
   — functional (the updated graph is returned), covering the reference's
@@ -154,9 +164,10 @@ class GroupNode:
     at parse time into the arm product (:func:`_dnf`), so the solver only
     ever joins statically-known variable sets — no join sees a null key.
     ``optionals`` nest to any depth. ``binds``/``values``/``minuses``/
-    ``exists`` are group-scoped (they extend/filter THIS group's
-    solutions — a group-level MINUS or FILTER EXISTS correlates on the
-    variables its OWN group binds)."""
+    ``exists``/``subqueries`` are group-scoped (they extend/filter THIS
+    group's solutions — a group-level MINUS or FILTER EXISTS correlates
+    on the variables its OWN group binds; a subquery's projected vars
+    join this group's solutions)."""
 
     patterns: list = dataclasses.field(default_factory=list)
     filters: list = dataclasses.field(default_factory=list)
@@ -166,6 +177,7 @@ class GroupNode:
     values: list = dataclasses.field(default_factory=list)  # [(names, rows)]
     minuses: list = dataclasses.field(default_factory=list)  # [GroupNode]
     exists: list = dataclasses.field(default_factory=list)  # [(neg, GroupNode)]
+    subqueries: list = dataclasses.field(default_factory=list)  # [Query]
 
 
 def _merge_nodes(a: GroupNode, b: GroupNode) -> GroupNode:
@@ -175,7 +187,8 @@ def _merge_nodes(a: GroupNode, b: GroupNode) -> GroupNode:
     return GroupNode(a.patterns + b.patterns, a.filters + b.filters,
                      a.optionals + b.optionals, [],
                      a.binds + b.binds, a.values + b.values,
-                     a.minuses + b.minuses, a.exists + b.exists)
+                     a.minuses + b.minuses, a.exists + b.exists,
+                     a.subqueries + b.subqueries)
 
 
 def _dnf(node: GroupNode) -> list[GroupNode]:
@@ -186,7 +199,8 @@ def _dnf(node: GroupNode) -> list[GroupNode]:
     if not node.unions:
         return [node]
     base = GroupNode(node.patterns, node.filters, node.optionals, [],
-                     node.binds, node.values, node.minuses, node.exists)
+                     node.binds, node.values, node.minuses, node.exists,
+                     node.subqueries)
     out = []
     for combo in product(*node.unions):
         g = base
@@ -371,9 +385,8 @@ class Query:
     # flat output-column-name list for compat
     proj_items: list[tuple] | None = None
     distinct: bool = False
-    # group extensions — the TOP group's (subgroup BIND/VALUES/MINUS/
-    # EXISTS live in their GroupNode); subqueries remain
-    # top-level-group-only (documented limitation)
+    # group extensions — the TOP group's (a subgroup's BIND/VALUES/
+    # MINUS/EXISTS/subqueries live in their GroupNode)
     binds: list[tuple[Expr, str]] | None = None          # BIND(expr AS ?v)
     values_blocks: list[tuple[list[str], list[tuple]]] | None = None
     minuses: list["GroupNode"] | None = None             # MINUS groups
@@ -425,8 +438,6 @@ def _tokens(text: str) -> list[str]:
 class _Parser:
     def __init__(self, text: str):
         text = _strip_comments(text)
-        self._group_depth = 0
-        self._subqueries: list["Query"] = []
         self.prefixes: dict[str, str] = {}
         for m in re.finditer(
             rf"(?i)\bPREFIX\s+([A-Za-z][\w-]*)?\s*:\s*<([^>]*)>", text
@@ -538,12 +549,11 @@ class _Parser:
         the union materializes first). UNION arms nest too: an arm's own
         UNION blocks are expanded HERE into the arm product (:func:`_dnf`),
         so every arm the solver sees is union-free and its bound-variable
-        set is static — no join ever sees a null key. BIND, VALUES, MINUS
-        and FILTER EXISTS are group-scoped (allowed inside OPTIONAL groups
-        and UNION arms); subqueries remain top-level-group-only."""
+        set is static — no join ever sees a null key. BIND, VALUES, MINUS,
+        FILTER EXISTS and { SELECT } subqueries are all group-scoped
+        (allowed inside OPTIONAL groups, UNION arms, MINUS/EXISTS
+        bodies)."""
         self.expect("{")
-        self._group_depth += 1
-        top = self._group_depth == 1
         node = GroupNode()
         patterns = node.patterns
         filters = node.filters
@@ -552,7 +562,7 @@ class _Parser:
 
         def subgroup(kind: str) -> GroupNode:
             sub = self.group()
-            if not sub.patterns and not sub.unions:
+            if not sub.patterns and not sub.unions and not sub.subqueries:
                 raise ValueError(f"SPARQL parse: empty {kind} group")
             # sub-group filters stay WITH the group: applied to its own
             # solutions before the join, so an OPTIONAL's filter cannot
@@ -569,15 +579,10 @@ class _Parser:
             if self.peek() == "{" and self.i + 1 < len(self.toks) and \
                     self.toks[self.i + 1].lower() == "select":
                 # { SELECT ... } subquery — evaluated bottom-up, its
-                # projected vars join the outer solutions
-                if not top:
-                    raise ValueError(
-                        "SPARQL parse: subqueries supported in the "
-                        "top-level group only"
-                    )
+                # projected vars join THIS group's solutions
                 self.next()  # {
                 self.next()  # SELECT
-                self._subqueries.append(self._parse_select(sub=True))
+                node.subqueries.append(self._parse_select(sub=True))
                 self.expect("}")
                 if self.peek() == ".":
                     self.next()
@@ -595,7 +600,7 @@ class _Parser:
                 if n_blocks < 2:
                     raise ValueError("SPARQL parse: bare group braces need UNION")
                 for arm in arms:
-                    if not arm.patterns:
+                    if not arm.patterns and not arm.subqueries:
                         raise ValueError("SPARQL parse: empty UNION arm")
                 unions.append(arms)
                 if self.peek() == ".":
@@ -649,7 +654,6 @@ class _Parser:
             if self.peek() == ".":
                 self.next()
         self.expect("}")
-        self._group_depth -= 1
         return node
 
     def _values_block(self) -> tuple[list[str], list[tuple]]:
@@ -878,83 +882,75 @@ class _Parser:
 
     def _parse_select(self, sub: bool) -> Query:
         """The SELECT clause + WHERE group + modifiers. ``sub=True``
-        parses a subquery: it stops at the enclosing ``}`` and carries its
-        OWN top-level-extension scope (a subquery's BIND/VALUES/MINUS/
-        EXISTS belong to the subquery, not the outer query)."""
-        if sub:
-            outer = (self._subqueries, self._group_depth)
-            self._subqueries = []
-            self._group_depth = 0
-        try:
-            distinct = False
-            star = False
-            if self.peek() and self.peek().lower() in ("distinct", "reduced"):
-                distinct = self.next().lower() == "distinct"
-            proj_items: list[tuple] = []
-            n_anon = 0
-            while True:
-                tok = self.peek()
-                if tok is None:
-                    raise ValueError("SPARQL parse: SELECT without WHERE")
-                if tok == "*":
+        parses a subquery: it stops at the enclosing ``}``. Group
+        extensions (BIND/VALUES/MINUS/EXISTS/nested subqueries) ride on
+        the WHERE GroupNode, so a subquery's scope is naturally its own."""
+        distinct = False
+        star = False
+        if self.peek() and self.peek().lower() in ("distinct", "reduced"):
+            distinct = self.next().lower() == "distinct"
+        proj_items: list[tuple] = []
+        n_anon = 0
+        while True:
+            tok = self.peek()
+            if tok is None:
+                raise ValueError("SPARQL parse: SELECT without WHERE")
+            if tok == "*":
+                self.next()
+                star = True
+                continue
+            if tok.startswith("?"):
+                proj_items.append(("var", self.next()[1:]))
+                continue
+            if tok == "(":
+                self.next()
+                item = self._agg_or_expr()
+                alias = ""
+                if self.peek() and self.peek().lower() == "as":
                     self.next()
-                    star = True
-                    continue
-                if tok.startswith("?"):
-                    proj_items.append(("var", self.next()[1:]))
-                    continue
-                if tok == "(":
-                    self.next()
-                    item = self._agg_or_expr()
-                    alias = ""
-                    if self.peek() and self.peek().lower() == "as":
-                        self.next()
-                        alias = self._filter_var()
-                    elif isinstance(item, Aggregate):
-                        n_anon += 1
-                        alias = f"agg{n_anon}"
-                    else:
-                        raise ValueError(
-                            "SPARQL parse: projected expression needs "
-                            "'AS ?alias'"
-                        )
-                    self.expect(")")
-                    if isinstance(item, Aggregate):
-                        import dataclasses
+                    alias = self._filter_var()
+                elif isinstance(item, Aggregate):
+                    n_anon += 1
+                    alias = f"agg{n_anon}"
+                else:
+                    raise ValueError(
+                        "SPARQL parse: projected expression needs "
+                        "'AS ?alias'"
+                    )
+                self.expect(")")
+                if isinstance(item, Aggregate):
+                    import dataclasses
 
-                        proj_items.append(
-                            ("agg", dataclasses.replace(item, alias=alias))
-                        )
-                    else:
-                        proj_items.append(("expr", item, alias))
-                    continue
-                break
-            if star and proj_items:
-                raise ValueError("SPARQL parse: SELECT * cannot mix with items")
-            if not star and not proj_items:
-                raise ValueError("SPARQL parse: empty SELECT projection")
-            self.expect("where")
-            node = self.group()
-            group_by, having, order_by, limit, offset = self._modifiers(
-                stop_at_brace=sub
-            )
-            projection = [
-                it[1] if it[0] == "var" else
-                (it[1].alias if it[0] == "agg" else it[2])
-                for it in proj_items
-            ]
-            return Query("select", projection, [], node.patterns, node.filters,
-                         optionals=node.optionals, unions=node.unions,
-                         proj_items=None if star else proj_items,
-                         distinct=distinct,
-                         binds=node.binds, values_blocks=node.values,
-                         minuses=node.minuses, exists_filters=node.exists,
-                         subqueries=self._subqueries,
-                         group_by=group_by, having=having, order_by=order_by,
-                         limit=limit, offset=offset)
-        finally:
-            if sub:
-                (self._subqueries, self._group_depth) = outer
+                    proj_items.append(
+                        ("agg", dataclasses.replace(item, alias=alias))
+                    )
+                else:
+                    proj_items.append(("expr", item, alias))
+                continue
+            break
+        if star and proj_items:
+            raise ValueError("SPARQL parse: SELECT * cannot mix with items")
+        if not star and not proj_items:
+            raise ValueError("SPARQL parse: empty SELECT projection")
+        self.expect("where")
+        node = self.group()
+        group_by, having, order_by, limit, offset = self._modifiers(
+            stop_at_brace=sub
+        )
+        projection = [
+            it[1] if it[0] == "var" else
+            (it[1].alias if it[0] == "agg" else it[2])
+            for it in proj_items
+        ]
+        return Query("select", projection, [], node.patterns, node.filters,
+                     optionals=node.optionals, unions=node.unions,
+                     proj_items=None if star else proj_items,
+                     distinct=distinct,
+                     binds=node.binds, values_blocks=node.values,
+                     minuses=node.minuses, exists_filters=node.exists,
+                     subqueries=node.subqueries,
+                     group_by=group_by, having=having, order_by=order_by,
+                     limit=limit, offset=offset)
 
     def _parse_non_select(self, form: str) -> Query:
         if form == "construct":
@@ -980,7 +976,7 @@ class _Parser:
                          optionals=node.optionals, unions=node.unions,
                          binds=node.binds, values_blocks=node.values,
                          minuses=node.minuses, exists_filters=node.exists,
-                         limit=limit)
+                         subqueries=node.subqueries, limit=limit)
         if form == "ask":
             if self.peek() and self.peek().lower() == "where":
                 self.next()
@@ -992,7 +988,8 @@ class _Parser:
             return Query("ask", [], [], node.patterns, node.filters,
                          optionals=node.optionals, unions=node.unions,
                          binds=node.binds, values_blocks=node.values,
-                         minuses=node.minuses, exists_filters=node.exists)
+                         minuses=node.minuses, exists_filters=node.exists,
+                         subqueries=node.subqueries)
         if form == "describe":
             tok = self.peek()
             if tok is None:
@@ -1010,7 +1007,8 @@ class _Parser:
                              optionals=node.optionals, unions=node.unions,
                              binds=node.binds, values_blocks=node.values,
                              minuses=node.minuses,
-                             exists_filters=node.exists, limit=limit)
+                             exists_filters=node.exists,
+                             subqueries=node.subqueries, limit=limit)
             # DESCRIBE <iri> [<iri> ...] — no WHERE clause; the iri list
             # rides in `projection` (patterns empty distinguishes the form)
             iris = []
@@ -1141,10 +1139,10 @@ class _Parser:
             self.next()
             node = self.group()
             if (node.optionals or node.unions or node.binds or node.values
-                    or node.minuses or node.exists):
+                    or node.minuses or node.exists or node.subqueries):
                 raise ValueError(
-                    "SPARQL parse: DELETE WHERE takes a plain BGP "
-                    "(no OPTIONAL/UNION/BIND/VALUES/MINUS/EXISTS)"
+                    "SPARQL parse: DELETE WHERE takes a plain BGP (no "
+                    "OPTIONAL/UNION/BIND/VALUES/MINUS/EXISTS/subquery)"
                 )
             patterns, filters = node.patterns, node.filters
             delete_template = []
@@ -1171,7 +1169,8 @@ class _Parser:
                      delete_template, insert_template,
                      optionals=node.optionals, unions=node.unions,
                      binds=node.binds, values_blocks=node.values,
-                     minuses=node.minuses, exists_filters=node.exists)
+                     minuses=node.minuses, exists_filters=node.exists,
+                     subqueries=node.subqueries)
 
 
 def parse(text: str) -> Query:
@@ -1528,14 +1527,51 @@ def _merge_checked(bound: DataFrame | None, sol: DataFrame,
     return _merge(bound, sol, how=how)
 
 
+def _conditioned_join(bound: DataFrame, sol: DataFrame, deferred: list,
+                      how: str) -> DataFrame:
+    """Join with extra filter conjuncts referencing BOTH sides — the
+    engine form of SPARQL's LeftJoin(P1, P2, F) and of a correlated
+    FILTER EXISTS body. Shared vars join by equality as usual; each
+    deferred filter becomes a join conjunct (so a left-join row failing
+    it survives unextended, and a semi-/anti-join probes under it).
+    Shared columns are renamed on the probe side to keep every name in
+    the condition unambiguous; a filter var that is shared resolves to
+    the outer copy, which the equality conjuncts make equivalent."""
+    shared = sorted(set(bound.columns) & set(sol.columns))
+    ren = {c: "__grp__" + c for c in shared}
+    sol2 = sol
+    for c, t in ren.items():
+        sol2 = sol2.withColumnRenamed(c, t)
+    cond = F.lit(True)
+    for c, t in ren.items():
+        cond = cond & (F.col(c) == F.col(t))
+    for f in deferred:
+        missing = [v for v in f.vars
+                   if v not in bound.columns and v not in sol.columns]
+        if missing:
+            raise ValueError(
+                "SPARQL: FILTER references variable(s) bound neither in "
+                "its group nor in the enclosing solutions: "
+                + ", ".join("?" + v for v in missing)
+            )
+        cond = cond & f.column()
+    out = bound.join(sol2, cond, how)
+    if how == "left":
+        out = out.drop(*ren.values())
+    return out
+
+
 def _apply_exists_minus(triples: DataFrame, bound: DataFrame,
                         exists_filters: list, minuses: list) -> DataFrame:
     """FILTER [NOT] EXISTS semi-/anti-joins, then MINUS anti-joins, over
     the current solutions. Group-scoped: the bodies correlate on the vars
-    ``bound`` carries at this point. Shared vars the body binds only
+    ``bound`` carries at this point — including, per the spec's
+    substitution semantics, body FILTERs that reference enclosing vars
+    (they become join conjuncts). Shared vars the body binds only
     partially raise (they would be null join keys)."""
     for negated, ex_node in exists_filters or []:
-        other, defs = _group_solution(triples, ex_node)
+        other, defs, defer = _group_solution(triples, ex_node,
+                                             allow_defer=True)
         shared = sorted(set(bound.columns) & set(other.columns))
         maybe = sorted(set(shared) - defs)
         if maybe:
@@ -1546,13 +1582,15 @@ def _apply_exists_minus(triples: DataFrame, bound: DataFrame,
                 "every UNION arm / outside the OPTIONAL"
             )
         how = "left_anti" if negated else "left_semi"
-        if shared:
+        if defer:
+            bound = _conditioned_join(bound, other, defer, how)
+        elif shared:
             bound = bound.join(other, on=shared, how=how)
         else:
             # uncorrelated EXISTS: keep all rows iff the group is non-empty
             bound = bound.join(other.limit(1), F.lit(True), how)
     for mi_node in minuses or []:
-        other, defs = _group_solution(triples, mi_node)
+        other, defs, _ = _group_solution(triples, mi_node)
         shared = sorted(set(bound.columns) & set(other.columns))
         maybe = sorted(set(shared) - defs)
         if maybe:
@@ -1569,48 +1607,136 @@ def _apply_exists_minus(triples: DataFrame, bound: DataFrame,
     return bound
 
 
-def _group_solution(triples: DataFrame, node: "GroupNode"
-                    ) -> tuple[DataFrame, frozenset]:
+def _node_definite(c: "GroupNode") -> set:
+    """Vars a union-free group combination definitely binds in every
+    solution row (OPTIONAL vars excluded; VALUES columns count only when
+    no row leaves them UNDEF; a subquery contributes the projected vars
+    it itself definitely binds)."""
+    d: set = set()
+    for p in c.patterns:
+        d.update(p.vars)
+    d.update(v for _, v in c.binds)
+    for names, rows in c.values:
+        d.update(
+            n for i, n in enumerate(names)
+            if all(r[i] is not None for r in rows)
+        )
+    for sq in c.subqueries:
+        d.update(_query_definite(sq))
+    return d
+
+
+def _query_definite(q: "Query") -> set:
+    """The subset of a SELECT query's output columns bound in EVERY
+    solution row — drives the enclosing group's null-key join check when
+    the query appears as a ``{ SELECT ... }`` subquery. Aggregate aliases
+    count as definite (GROUP BY groups are non-empty by construction; the
+    lone edge — an implicit-group SUM/MIN/MAX over zero rows — yields one
+    all-null row that the outer equi-join then drops, matching the
+    engine's unbound-join convention)."""
+    d: set = set()
+    for p in q.patterns:
+        d.update(p.vars)
+    d.update(v for _, v in q.binds or [])
+    for names, rows in q.values_blocks or []:
+        d.update(
+            n for i, n in enumerate(names)
+            if all(r[i] is not None for r in rows)
+        )
+    for sq in q.subqueries or []:
+        d.update(_query_definite(sq))
+    for block in q.unions or []:
+        arm_defs = [_node_definite(arm) for arm in block]
+        if arm_defs:
+            d.update(set.intersection(*arm_defs))
+    if q.proj_items is None:  # SELECT *
+        return d
+    out: set = set()
+    for it in q.proj_items:
+        if it[0] == "var" and it[1] in d:
+            out.add(it[1])
+        elif it[0] == "agg":
+            out.add(it[1].alias)
+        elif it[0] == "expr" and all(v in d for v in it[1].vars):
+            out.add(it[2])
+    return out
+
+
+def _left_merge(bound: DataFrame, sol: DataFrame, definite: frozenset,
+                deferred: list) -> DataFrame:
+    """OPTIONAL merge: plain equi-left-join when the group's filters all
+    resolved inside it; with deferred (outer-referencing) filters it is
+    the full LeftJoin(P1, P2, F) — the filters join the equality
+    condition, so a row failing F keeps its P1 solution unextended."""
+    if not deferred:
+        return _merge_checked(bound, sol, definite, how="left")
+    maybe = sorted(set(bound.columns) & set(sol.columns) - set(definite))
+    if maybe:
+        raise ValueError(
+            "SPARQL: variable(s) " + ", ".join("?" + v for v in maybe)
+            + " are shared with the outer group but only partially bound "
+            "inside it — bind them in every arm / outside the OPTIONAL"
+        )
+    return _conditioned_join(bound, sol, deferred, "left")
+
+
+def _group_solution(triples: DataFrame, node: "GroupNode",
+                    allow_defer: bool = False
+                    ) -> tuple[DataFrame, frozenset, list]:
     """Solve one subgroup (OPTIONAL / UNION arm / MINUS / EXISTS body)
     independently of the outer solutions.
 
     The group's UNION blocks expand to their DNF combinations; each
-    combination is patterns-join → BIND → VALUES → filters → nested
-    OPTIONALs, then the combinations union (allowMissingColumns: vars a
-    combination never binds become nulls = unbound). Returns
-    ``(frame, definite_vars)`` where definite_vars are bound in EVERY
-    solution row — callers use them to keep join keys null-free
-    (:func:`_merge_checked`)."""
+    combination is patterns-join → subqueries → BIND → VALUES → nested
+    OPTIONALs → EXISTS/MINUS → end-of-group filters, then the
+    combinations union (allowMissingColumns: vars a combination never
+    binds become nulls = unbound). Returns ``(frame, definite_vars,
+    deferred_filters)``: definite_vars are bound in EVERY solution row
+    (callers use them to keep join keys null-free,
+    :func:`_merge_checked`); deferred_filters are this group's filters
+    that reference variables the group does not bind — produced only
+    under ``allow_defer`` (OPTIONAL and EXISTS bodies, where the spec
+    lets a filter see the enclosing solutions) and only for union-free
+    groups, and consumed by the caller as join conjuncts
+    (:func:`_conditioned_join`); otherwise such filters raise."""
+    combos = _dnf(node)
     frames, defs = [], []
-    for c in _dnf(node):
-        if not c.patterns:
+    deferred: list = []
+    for c in combos:
+        if not c.patterns and not c.subqueries:
             raise ValueError(
                 "SPARQL: a group needs at least one triple pattern"
             )
-        df = _join_patterns(triples, c.patterns)
+        df = _join_patterns(triples, c.patterns) if c.patterns else None
+        for sq in c.subqueries:
+            # bottom-up: the subquery solves + projects first; only its
+            # projected vars join this group's solutions (subquery scope)
+            df = _merge(df, _project(_solve(triples, sq), sq))
         df = _apply_binds(df, c.binds)
         for names, rows in c.values:
             df = _values_join(df, names, rows)
-        df = _apply_filters(df, c.filters)
-        definite: set[str] = set()
-        for p in c.patterns:
-            definite.update(p.vars)
-        definite.update(v for _, v in c.binds)
-        for names, rows in c.values:
-            definite.update(
-                n for i, n in enumerate(names)
-                if all(r[i] is not None for r in rows)
-            )
+        definite = _node_definite(c)
         for opt in c.optionals:
-            sol, sub_def = _group_solution(triples, opt)
-            df = _merge_checked(df, sol, sub_def, how="left")
+            sol, sub_def, sub_defer = _group_solution(triples, opt,
+                                                      allow_defer=True)
+            df = _left_merge(df, sol, sub_def, sub_defer)
         df = _apply_exists_minus(triples, df, c.exists, c.minuses)
+        # end-of-group filter scope (SPARQL: FILTERs apply to the whole
+        # group, so they may see this group's own OPTIONAL extensions)
+        now = []
+        for f in c.filters:
+            if (allow_defer and len(combos) == 1
+                    and any(v not in df.columns for v in f.vars)):
+                deferred.append(f)
+            else:
+                now.append(f)  # _apply_filters raises if truly unbound
+        df = _apply_filters(df, now)
         frames.append(df)
         defs.append(definite)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
-    return out, frozenset(set.intersection(*defs))
+    return out, frozenset(set.intersection(*defs)), deferred
 
 
 def _solve(triples: DataFrame, query: Query) -> DataFrame:
@@ -1638,7 +1764,7 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
         for arm_combo in product(*query.unions):
             bound = base
             for arm in arm_combo:
-                sol, defs = _group_solution(triples, arm)
+                sol, defs, _ = _group_solution(triples, arm)
                 bound = _merge_checked(bound, sol, defs)
             combos.append(bound)
         u = combos[0]
@@ -1648,8 +1774,8 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
     else:
         bound = base
     for opt in query.optionals or []:
-        sol, defs = _group_solution(triples, opt)
-        bound = _merge_checked(bound, sol, defs, how="left")
+        sol, defs, defer = _group_solution(triples, opt, allow_defer=True)
+        bound = _left_merge(bound, sol, defs, defer)
     assert bound is not None
     # top-level group extensions, in algebra order: BIND extends the
     # solution (filters may reference its vars), VALUES joins inline data,

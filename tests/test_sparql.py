@@ -1011,13 +1011,56 @@ def test_subquery_bind_scope_stays_inner(spark):
     assert got == [("a", 1.5), ("a", 2.5)]
 
 
-def test_subquery_inside_union_rejected():
-    import pytest
-    with pytest.raises(ValueError, match="top-level"):
-        sparql.parse(
-            "SELECT ?s WHERE { { { SELECT ?s WHERE { ?s ?p ?o } } } "
-            "UNION { ?s ?q ?r } }"
-        )
+def test_subquery_inside_union_arm(spark):
+    """Subqueries are group-scoped: a UNION arm may be a { SELECT }
+    block — its projected vars become that arm's solutions."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?g WHERE {{ "
+         "{ { SELECT ?g WHERE { ?m ex:group ?g . ?m ex:score \"3\" } } } "
+         'UNION { ?x ex:group ?g . ?x ex:score "9" } } ORDER BY ?g')
+    got = [r["g"] for r in sparql.evaluate(t, q).collect()]
+    assert got == ["a", "c"]
+
+
+def test_subquery_inside_optional(spark):
+    """An OPTIONAL body may be a subquery: the aggregate extends groups
+    that have scores; groups without stay unbound (none here — so make
+    one memberless via a group triple on a non-scored member)."""
+    t = _scores_graph(spark)
+    extra = _triples(spark, [(EX + "m7", EX + "group", "d")])
+    t = t.unionByName(extra)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m ?total WHERE {{ ?m ex:group ?g . "
+         "OPTIONAL { { SELECT ?g (SUM(?sc) AS ?total) WHERE { "
+         "?x ex:group ?g . ?x ex:score ?sc } GROUP BY ?g } } }"
+         " ORDER BY ?m")
+    got = {(r["m"], r["total"]) for r in sparql.evaluate(t, q).collect()}
+    assert (EX + "m7", None) in got
+    assert (EX + "m1", 8.0) in got and (EX + "m5", 19.0) in got
+
+
+def test_subquery_inside_exists_body(spark):
+    """FILTER EXISTS body holding a subquery: keep members of groups
+    whose total exceeds 10 — semi-join against the aggregated frame."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g . "
+         "FILTER EXISTS { { SELECT ?g (SUM(?sc) AS ?total) WHERE { "
+         "?x ex:group ?g . ?x ex:score ?sc } GROUP BY ?g "
+         "HAVING (?total > 10) } } } ORDER BY ?m")
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m5", EX + "m6"]
+
+
+def test_subquery_nested_in_subquery(spark):
+    """Subqueries nest: inner per-group totals, middle selects groups
+    over the threshold, outer joins members."""
+    t = _scores_graph(spark)
+    q = (f"PREFIX ex: <{EX}> SELECT ?m WHERE {{ ?m ex:group ?g . "
+         "{ SELECT ?g WHERE { "
+         "  { SELECT ?g (SUM(?sc) AS ?total) WHERE { ?x ex:group ?g . "
+         "    ?x ex:score ?sc } GROUP BY ?g } FILTER (?total > 10) } } }"
+         " ORDER BY ?m")
+    got = [r["m"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "m5", EX + "m6"]
 
 
 # -- recursive group algebra (round 4) --------------------------------------
@@ -1212,3 +1255,62 @@ def test_nested_exists_inside_minus(spark):
     got = [r["m"] for r in sparql.evaluate(t, q).collect()]
     # only m3 (group b AND flagged) is subtracted; m4 (group b, no flag) stays
     assert got == [EX + m for m in ["m1", "m2", "m4", "m5", "m6"]]
+
+
+# -- left-join filter semantics (spec LeftJoin(P1, P2, F)) -------------------
+
+
+def test_optional_filter_references_outer_var(spark):
+    """A FILTER inside an OPTIONAL may reference outer vars: it joins the
+    left-join condition, so rows failing it survive UNEXTENDED (the spec's
+    LeftJoin(P1, P2, F)), never dropped."""
+    t = _triples(spark, [
+        (EX + "a", EX + "p", "1"), (EX + "b", EX + "p", "5"),
+        (EX + "a", EX + "q", "3"), (EX + "b", EX + "q", "3"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s ?o ?v WHERE {{ ?s ex:p ?o . "
+         "OPTIONAL { ?s ex:q ?v . FILTER(?v > ?o) } } ORDER BY ?s")
+    got = [(r["s"], r["o"], r["v"]) for r in sparql.evaluate(t, q).collect()]
+    # a: q-value 3 > p-value 1 -> extended; b: 3 > 5 false -> kept unextended
+    assert got == [(EX + "a", "1", "3"), (EX + "b", "5", None)]
+
+
+def test_optional_filter_on_own_optional_var(spark):
+    """End-of-group filter scope: a group filter may reference the
+    group's OWN nested-OPTIONAL var (unbound -> error -> row filtered
+    out of the group, so the outer row survives unextended)."""
+    t = _triples(spark, [
+        (EX + "a", EX + "p", "x"), (EX + "b", EX + "p", "y"),
+        (EX + "a", EX + "lab", "L"),
+        (EX + "a", EX + "flag", "ok"), (EX + "b", EX + "flag", "ok"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s ?l WHERE {{ ?s ex:p ?o . "
+         "OPTIONAL { ?s ex:flag ?f . OPTIONAL { ?s ex:lab ?l } "
+         'FILTER(?l = "L") } } ORDER BY ?s')
+    got = [(r["s"], r["l"]) for r in sparql.evaluate(t, q).collect()]
+    assert got == [(EX + "a", "L"), (EX + "b", None)]
+
+
+def test_exists_body_filter_references_outer_var(spark):
+    """Correlated FILTER EXISTS: a filter inside the EXISTS body compares
+    body vars against outer vars (spec substitution semantics)."""
+    t = _triples(spark, [
+        (EX + "a", EX + "p", "2"), (EX + "b", EX + "p", "9"),
+        (EX + "a", EX + "q", "5"), (EX + "b", EX + "q", "5"),
+    ])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:p ?o . "
+         "FILTER EXISTS { ?s ex:q ?w . FILTER(?w > ?o) } }")
+    got = [r["s"] for r in sparql.evaluate(t, q).collect()]
+    assert got == [EX + "a"]
+    q2 = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    got2 = [r["s"] for r in sparql.evaluate(t, q2).collect()]
+    assert got2 == [EX + "b"]
+
+
+def test_optional_filter_var_bound_nowhere_raises(spark):
+    import pytest
+    t = _triples(spark, [(EX + "a", EX + "p", "x")])
+    q = (f"PREFIX ex: <{EX}> SELECT ?s WHERE {{ ?s ex:p ?o . "
+         'OPTIONAL { ?s ex:q ?v . FILTER(?nowhere = "z") } }')
+    with pytest.raises(ValueError, match=r"\?nowhere"):
+        sparql.evaluate(t, q).collect()
