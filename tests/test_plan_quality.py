@@ -238,3 +238,52 @@ def test_sparql_values_broadcast(spark):
         )
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _sparql_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def test_sparql_conditioned_left_join_stays_equi(spark):
+    """LeftJoin(P1, P2, F) with an outer-referencing filter must compile
+    to a hash/sort-merge join on the shared-var equality keys with F as
+    an extra join condition — NOT a nested-loop over the full product
+    (the correlated case always has equality conjuncts; only they make
+    the shape scale)."""
+    from phenoscape_owl_tools_spark import sparql as sparql_mod
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("s%d" % i, "http://ex/p", str(i)) for i in range(100)]
+        + [("s%d" % i, "http://ex/q", str(i * 2)) for i in range(100)],
+        "subj string, pred string, obj string",
+    )
+    q = ("SELECT ?s ?o ?v WHERE { ?s <http://ex/p> ?o . "
+         "OPTIONAL { ?s <http://ex/q> ?v . FILTER(?v > ?o) } }")
+    plan = _sparql_plan(sparql_mod.evaluate(t, q))
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sparql_correlated_exists_stays_equi(spark):
+    """A correlated FILTER EXISTS with a body filter over outer vars
+    keeps its semi-join hash-based (equality on the shared var extracted
+    from the conjunction; the filter rides as the join condition)."""
+    from phenoscape_owl_tools_spark import sparql as sparql_mod
+
+    t = spark.createDataFrame(
+        [("s%d" % i, "http://ex/p", str(i)) for i in range(100)]
+        + [("s%d" % i, "http://ex/q", str(i * 2)) for i in range(100)],
+        "subj string, pred string, obj string",
+    )
+    q = ("SELECT ?s WHERE { ?s <http://ex/p> ?o . "
+         "FILTER EXISTS { ?s <http://ex/q> ?w . FILTER(?w > ?o) } }")
+    plan = _sparql_plan(sparql_mod.evaluate(t, q))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
