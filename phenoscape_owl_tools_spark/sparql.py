@@ -18,7 +18,10 @@ this module covers the language subset its shipped queries actually use
   zero-or-one ``p?`` (mid-sequence contributes its zero-length arm;
   leading/bare ``p?`` drops it = ``R_p``, the same KB-build convention as
   bare ``p*``), inverse ``^p`` (applies to the following path element,
-  including its modifier),
+  including its modifier), negated property sets ``!iri`` /
+  ``!(p1|^p2|...)`` (forward members exclude predicates on forward
+  triples, ``^``-members on inverted triples; the two arms union per
+  spec; ``!()`` matches any forward triple),
 - ``FILTER`` with ``isIRI(?v)``, ``regex(?v, "pat"[, "flags"])``,
   comparisons ``?v OP term`` (``= != < <= > >=``; term = var, IRI, number,
   or string — numeric RHS compares numerically), ``!`` negation, ``&&``
@@ -135,9 +138,11 @@ class PathNode:
     """SPARQL 1.1 property-path AST with spec precedence:
     ``alt`` > ``seq`` > ``inv``/modifier > ``primary`` (iri or parens)."""
 
-    op: str  # 'iri' | 'seq' | 'alt' | 'inv' | 'star' | 'plus' | 'opt'
+    op: str  # 'iri'|'seq'|'alt'|'inv'|'star'|'plus'|'opt'|'nps'
     iri: str = ""
     kids: tuple["PathNode", ...] = ()
+    # 'nps' (negated property set, !(...)): kids are the EXCLUDED members —
+    # 'iri' nodes (forward) and 'inv'-wrapped 'iri' nodes (inverse).
 
 
 @dataclass(frozen=True)
@@ -535,10 +540,40 @@ class _Parser:
             node = self._path_alt()
             self.expect(")")
             return node
+        if self.peek() == "!":
+            self.next()
+            return self._path_negated_pset()
         t = self.term()
         if t.kind != "iri":
             raise ValueError("SPARQL parse: variables not allowed inside paths")
         return PathNode("iri", iri=t.value)
+
+    def _path_negated_pset(self) -> PathNode:
+        """``PathNegatedPropertySet := OneInPSet | '(' (OneInPSet ('|'
+        OneInPSet)*)? ')'`` where ``OneInPSet := iri | 'a' | '^'(iri|'a')``."""
+        members: list[PathNode] = []
+        if self.peek() == "(":
+            self.next()
+            while self.peek() != ")":
+                members.append(self._path_one_in_pset())
+                if self.peek() == "|":
+                    self.next()
+            self.expect(")")
+        else:
+            members.append(self._path_one_in_pset())
+        return PathNode("nps", kids=tuple(members))
+
+    def _path_one_in_pset(self) -> PathNode:
+        inverse = self.peek() == "^"
+        if inverse:
+            self.next()
+        t = self.term()
+        if t.kind != "iri":
+            raise ValueError(
+                "SPARQL parse: negated property sets take only IRIs (or 'a')"
+            )
+        leaf = PathNode("iri", iri=t.value)
+        return PathNode("inv", kids=(leaf,)) if inverse else leaf
 
     def group(self) -> GroupNode:
         """Parse { ... } into a :class:`GroupNode`.
@@ -1211,6 +1246,32 @@ def _path_relation(triples: DataFrame, node: PathNode) -> DataFrame:
         return triples.where(F.col("pred").isin(*leaves)).select(
             F.col("subj").alias("s"), F.col("obj").alias("o")
         )
+    if node.op == "nps":
+        # !(p1|..|^q1|..): forward triples whose predicate is outside the
+        # forward member set, UNION inverted triples whose predicate is
+        # outside the inverse member set (SPARQL 1.1 §9.1 NegatedPropertySet).
+        # Each arm is one predicate-filtered scan — pushdown-friendly; the
+        # arm only exists when it has members, except !() = any forward.
+        fwd = [k.iri for k in node.kids if k.op == "iri"]
+        inv = [k.kids[0].iri for k in node.kids if k.op == "inv"]
+        arms: list[DataFrame] = []
+        if fwd or not node.kids:
+            scan = triples if not fwd else triples.where(
+                ~F.col("pred").isin(*fwd)
+            )
+            arms.append(
+                scan.select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+            )
+        if inv:
+            arms.append(
+                triples.where(~F.col("pred").isin(*inv)).select(
+                    F.col("obj").alias("s"), F.col("subj").alias("o")
+                )
+            )
+        rel = arms[0]
+        for extra in arms[1:]:
+            rel = rel.unionByName(extra)
+        return rel.dropDuplicates() if len(arms) > 1 else rel
     if node.op == "alt":
         rel = _path_relation(triples, node.kids[0])
         for k in node.kids[1:]:
@@ -1262,9 +1323,16 @@ def _bindings(triples: DataFrame, pat: Pattern) -> DataFrame:
         rel = _path_relation(triples, pat.path)
         cols = {"s": pat.subj, "o": pat.obj}
     out_cols = []
+    seen_vars: dict[str, str] = {}  # var name -> first source column
     for src, term in cols.items():
         if term.kind == "var":
-            out_cols.append(F.col(src).alias(term.value))
+            if term.value in seen_vars:
+                # repeated variable in one pattern (e.g. ?a ex:p ?a — a
+                # self-loop match): both positions must bind the same term
+                rel = rel.where(F.col(src) == F.col(seen_vars[term.value]))
+            else:
+                seen_vars[term.value] = src
+                out_cols.append(F.col(src).alias(term.value))
         else:
             rel = rel.where(F.col(src) == term.value)
     if not out_cols:

@@ -434,6 +434,81 @@ def test_path_bare_zero_or_one_convention(spark):
     assert got == {(EX + "a", EX + "b")}
 
 
+def test_path_negated_property_set_forward(spark):
+    """``!ex:p`` matches forward triples with any predicate except ex:p."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "a", EX + "q", EX + "c"),
+            (EX + "d", EX + "r", EX + "e"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s !ex:p ?o . }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "c"), (EX + "d", EX + "e")}
+
+
+def test_path_negated_property_set_mixed(spark):
+    """``!(p|^q)`` = forward-not-p UNION inverse-not-q (SPARQL 1.1 §9.1)."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),  # excluded forward, inverse arm ok
+            (EX + "a", EX + "q", EX + "c"),  # forward arm ok, excl. inverse
+            (EX + "x", EX + "r", EX + "y"),  # both arms
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s !(ex:p|^ex:q) ?o . }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {
+        (EX + "a", EX + "c"),  # forward q (not p)
+        (EX + "x", EX + "y"),  # forward r
+        (EX + "b", EX + "a"),  # inverse of p (not q)
+        (EX + "y", EX + "x"),  # inverse of r
+    }
+
+
+def test_path_negated_property_set_inverse_only_and_a(spark):
+    """``!(^a)`` is inverse-only: inverted triples whose predicate is not
+    rdf:type; no forward arm exists."""
+    t = _triples(
+        spark,
+        [
+            (EX + "i", sparql.RDF_TYPE, EX + "C"),
+            (EX + "a", EX + "p", EX + "b"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s !(^a) ?o . }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "b", EX + "a")}
+
+
+def test_path_negated_property_set_in_sequence(spark):
+    """NPS composes inside a sequence like any other path element."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "q", EX + "m"),
+            (EX + "m", EX + "s", EX + "b"),
+            (EX + "a", EX + "p", EX + "n"),  # first hop excluded
+            (EX + "n", EX + "s", EX + "c"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?s ?o WHERE {{ ?s !ex:p/ex:s ?o . }}"
+    got = {(r["s"], r["o"]) for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "b")}
+
+
+def test_path_negated_property_set_rejects_var():
+    try:
+        sparql.parse("SELECT ?s ?o WHERE { ?s !(?v) ?o . }")
+    except ValueError as e:
+        assert "negated property sets" in str(e) or "variables" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected parse error")
+
+
 def test_filter_not_equal(spark):
     t = _triples(
         spark,

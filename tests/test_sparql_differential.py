@@ -1,0 +1,249 @@
+"""Randomized differential testing of the SPARQL group algebra.
+
+A seeded generator emits random (but syntactically valid) SELECT queries
+over random small graphs; each query runs through BOTH the Spark engine
+(``sparql.evaluate``) and the naive pure-Python interpreter
+(``tests/naive_sparql.py``) and the solution MULTISETS must agree —
+including unbound (null) cells from OPTIONAL / UNION / VALUES-UNDEF.
+
+The engine's strictness errors (partially-bound shared vars, unbound
+FILTER/BIND references) must also agree: when one side raises
+``ValueError``, the other must too.
+
+Feature space exercised: property paths (iri / seq / alt / inv / star /
+plus / ? / negated property sets / variable predicates), FILTER booleans
+(&& || ! parens, = != < > against var/str/num, regex, isIRI), OPTIONAL
+(nested, with outer-referencing deferred filters), multiple UNION blocks,
+BIND(concat), VALUES with UNDEF, MINUS, FILTER [NOT] EXISTS, DISTINCT.
+"""
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from phenoscape_owl_tools_spark import sparql
+
+import naive_sparql as ns
+
+EX = "http://example.org/"
+PREFIX = f"PREFIX ex: <{EX}>\n"
+
+SUBJECTS = [f"ex:n{i}" for i in range(8)]
+PREDS = [f"ex:p{i}" for i in range(4)]
+LITERALS = ['"5"', '"12"', '"abc"', '"abd"']
+VARS = ["a", "b", "c", "d", "e"]
+
+
+def _mk_graph(rng: random.Random) -> list[tuple[str, str, str]]:
+    n = rng.randint(15, 30)
+    triples = set()
+    while len(triples) < n:
+        s = EX + f"n{rng.randrange(8)}"
+        p = EX + f"p{rng.randrange(4)}"
+        o = (EX + f"n{rng.randrange(8)}") if rng.random() < 0.8 else \
+            rng.choice(LITERALS).strip('"')
+        triples.add((s, p, o))
+    return sorted(triples)
+
+
+def _mk_path(rng: random.Random, depth: int = 0) -> str:
+    r = rng.random()
+    if depth >= 2 or r < 0.55:
+        return rng.choice(PREDS)
+    if r < 0.63:
+        return f"({_mk_path(rng, depth + 1)}/{_mk_path(rng, depth + 1)})"
+    if r < 0.71:
+        return f"({_mk_path(rng, depth + 1)}|{_mk_path(rng, depth + 1)})"
+    if r < 0.78:
+        return f"^{rng.choice(PREDS)}"
+    if r < 0.84:
+        return f"{rng.choice(PREDS)}{rng.choice(['*', '+', '?'])}"
+    if r < 0.92:
+        members = rng.sample(PREDS, rng.randint(1, 2))
+        if rng.random() < 0.5:
+            members = [("^" if rng.random() < 0.5 else "") + m
+                       for m in members]
+        return "!(" + "|".join(members) + ")"
+    return f"({_mk_path(rng, depth + 1)}/{rng.choice(PREDS)}?)"
+
+
+def _mk_term(rng: random.Random, pool: list[str]) -> str:
+    r = rng.random()
+    if r < 0.7:
+        return "?" + rng.choice(pool)
+    if r < 0.9:
+        return rng.choice(SUBJECTS)
+    return rng.choice(LITERALS)
+
+
+def _mk_pattern(rng: random.Random, pool: list[str]) -> str:
+    subj = _mk_term(rng, pool)
+    obj = _mk_term(rng, pool)
+    if not subj.startswith("?") and not obj.startswith("?"):
+        subj = "?" + rng.choice(pool)  # avoid the all-constant __const__ path
+    if subj.startswith('"'):
+        subj = "?" + rng.choice(pool)  # literal subjects don't occur
+    if rng.random() < 0.08:
+        pred = "?" + rng.choice([v for v in VARS if "?" + v not in (subj, obj)])
+    else:
+        pred = _mk_path(rng)
+    return f"{subj} {pred} {obj} ."
+
+
+def _mk_filter(rng: random.Random, bound: list[str], outer: list[str],
+               depth: int = 0) -> str:
+    r = rng.random()
+    if depth < 1 and r < 0.25:
+        op = rng.choice(["&&", "||"])
+        return (f"({_mk_filter(rng, bound, outer, depth + 1)} {op} "
+                f"{_mk_filter(rng, bound, outer, depth + 1)})")
+    if depth < 1 and r < 0.32:
+        return f"!({_mk_filter(rng, bound, outer, depth + 1)})"
+    pool = bound + outer if outer and rng.random() < 0.4 else bound
+    v = rng.choice(pool)
+    r = rng.random()
+    if r < 0.15:
+        return f"isIRI(?{v})"
+    if r < 0.3:
+        return f'regex(?{v}, "n[0-3]")'
+    op = rng.choice(["=", "!=", "<", ">"])
+    rhs_r = rng.random()
+    if rhs_r < 0.4 and len(pool) > 1:
+        rhs = "?" + rng.choice([x for x in pool if x != v] or [v])
+    elif rhs_r < 0.7:
+        rhs = rng.choice(LITERALS)
+    else:
+        rhs = rng.choice(SUBJECTS)
+    return f"?{v} {op} {rhs}"
+
+
+def _pat_vars(pat: str) -> list[str]:
+    return [tok[1:-len(" .")] if tok.endswith(" .") else tok[1:]
+            for tok in pat.split() if tok.startswith("?")]
+
+
+def _mk_group(rng: random.Random, pool: list[str], outer: list[str],
+              depth: int = 0) -> tuple[str, list[str]]:
+    """A `{ ... }` group body; returns (text, vars bound by its patterns)."""
+    pats = [_mk_pattern(rng, pool) for _ in range(rng.randint(1, 2))]
+    bound = sorted({v for p in pats for v in _pat_vars(p)})
+    parts = list(pats)
+    if bound and rng.random() < 0.45:
+        parts.append(f"FILTER({_mk_filter(rng, bound, outer)})")
+    if depth < 1 and bound and rng.random() < 0.2:
+        sub, _ = _mk_group(rng, pool, bound, depth + 1)
+        parts.append(f"OPTIONAL {{ {sub} }}")
+    return " ".join(parts), bound
+
+
+def _mk_query(rng: random.Random) -> str:
+    pool = VARS[: rng.randint(2, 4)]
+    pats = [_mk_pattern(rng, pool) for _ in range(rng.randint(1, 3))]
+    bound = sorted({v for p in pats for v in _pat_vars(p)})
+    if not bound:
+        pats.append(f"?{pool[0]} {rng.choice(PREDS)} ?{pool[-1]} .")
+        bound = sorted({v for p in pats for v in _pat_vars(p)})
+    parts = list(pats)
+    if rng.random() < 0.5:
+        parts.append(f"FILTER({_mk_filter(rng, bound, [])})")
+    if rng.random() < 0.45:
+        g, _ = _mk_group(rng, pool, bound)
+        parts.append(f"OPTIONAL {{ {g} }}")
+    if rng.random() < 0.35:
+        a1, _ = _mk_group(rng, pool, bound)
+        a2, _ = _mk_group(rng, pool, bound)
+        parts.append(f"{{ {a1} }} UNION {{ {a2} }}")
+    if rng.random() < 0.2:
+        g, _ = _mk_group(rng, pool, bound)
+        parts.append(f"MINUS {{ {g} }}")
+    if rng.random() < 0.2:
+        g, _ = _mk_group(rng, pool, bound)
+        neg = "NOT " if rng.random() < 0.5 else ""
+        parts.append(f"FILTER {neg}EXISTS {{ {g} }}")
+    if rng.random() < 0.25:
+        tgt = next((v for v in VARS if v not in bound), None)
+        if tgt:
+            src = rng.choice(bound)
+            parts.append(f'BIND(CONCAT(STR(?{src}), "_x") AS ?{tgt})')
+    if rng.random() < 0.25:
+        vs = rng.sample(bound, min(len(bound), rng.randint(1, 2)))
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            cells = []
+            for v in vs:
+                if rng.random() < 0.25:
+                    cells.append("UNDEF")
+                else:
+                    cells.append(rng.choice(SUBJECTS))
+            rows.append("(" + " ".join(cells) + ")")
+        parts.append(
+            "VALUES (" + " ".join("?" + v for v in vs) + ") { "
+            + " ".join(rows) + " }"
+        )
+    distinct = "DISTINCT " if rng.random() < 0.3 else ""
+    return PREFIX + f"SELECT {distinct}* WHERE {{ " + " ".join(parts) + " }"
+
+
+def _spark_frame(spark, triples):
+    return spark.createDataFrame(
+        triples, "subj string, pred string, obj string"
+    )
+
+
+def _run_both(spark, seed: int):
+    rng = random.Random(seed)
+    triples = _mk_graph(rng)
+    text = _mk_query(rng)
+    tdf = _spark_frame(spark, triples)
+
+    engine_err = naive_err = None
+    engine_rows = naive_rows = None
+    engine_cols: list[str] = []
+    try:
+        out = sparql.evaluate(tdf, text)
+        engine_cols = out.columns
+        engine_rows = Counter(
+            tuple(r[c] for c in sorted(engine_cols)) for r in out.collect()
+        )
+    except ValueError as e:
+        engine_err = e
+    try:
+        nf = ns.n_evaluate(triples, text)
+        naive_rows = Counter(
+            tuple(r.get(c) for c in sorted(nf.cols)) for r in nf.rows
+        )
+        naive_cols = nf.cols
+    except ValueError as e:
+        naive_err = e
+
+    if engine_err is not None or naive_err is not None:
+        assert engine_err is not None and naive_err is not None, (
+            f"seed {seed}: one side raised, the other did not\n"
+            f"query:\n{text}\nengine: {engine_err!r}\nnaive: {naive_err!r}"
+        )
+        return "raised"
+    assert sorted(engine_cols) == sorted(naive_cols), (
+        f"seed {seed}: column mismatch {engine_cols} vs {naive_cols}\n{text}"
+    )
+    assert engine_rows == naive_rows, (
+        f"seed {seed}: solution multiset mismatch\nquery:\n{text}\n"
+        f"graph: {triples}\n"
+        f"engine-only: {engine_rows - naive_rows}\n"
+        f"naive-only: {naive_rows - engine_rows}"
+    )
+    return "compared"
+
+
+@pytest.mark.parametrize("seed", list(range(40)))
+def test_differential_random_query(spark, seed):
+    _run_both(spark, seed)
+
+
+def test_differential_yields_comparisons(spark):
+    """Guard the generator's health: across a block of seeds, most queries
+    must actually evaluate (not raise) — otherwise the differential is
+    silently testing only the error paths."""
+    outcomes = [_run_both(spark, seed) for seed in range(40, 60)]
+    assert outcomes.count("compared") >= 12, Counter(outcomes)
