@@ -520,13 +520,105 @@ def n_solve(triples, query: Query) -> NFrame:
                                 query.exists_filters, query.minuses)
 
 
+def _agg_eval(a, rows: list[dict]):
+    """One aggregate over a group's rows — mirrors Aggregate.column():
+    COUNT(*) counts rows; others skip null/failed-cast inputs; SUM/AVG
+    over empty input are null; GROUP_CONCAT sorts for determinism and
+    yields '' on empty; SAMPLE is the deterministic MIN."""
+    if a.arg is None:  # COUNT(*)
+        return len(rows)
+    vals = [v for v in (eeval(a.arg, r) for r in rows) if v is not None]
+    if a.func == "count":
+        return len(set(vals)) if a.distinct else len(vals)
+    if a.func in ("sum", "avg"):
+        nums = [n for n in (_num(v) for v in vals) if n is not None]
+        if a.distinct:
+            nums = list(set(nums))
+        if not nums:
+            return None
+        return sum(nums) if a.func == "sum" else sum(nums) / len(nums)
+    if a.func in ("min", "max", "sample"):
+        if not vals:
+            return None
+        svals = [str(v) for v in vals]
+        return max(svals) if a.func == "max" else min(svals)
+    assert a.func == "group_concat", a.func
+    strs = [str(v) for v in vals]
+    if a.distinct:
+        strs = list(set(strs))
+    return a.separator.join(sorted(strs))
+
+
+def _project_aggregated(bound: NFrame, query: Query) -> NFrame:
+    items = query.proj_items
+    if items is None:
+        raise ValueError("SPARQL: SELECT * cannot combine with GROUP BY")
+    aggs = [it[1] for it in items if it[0] == "agg"]
+    gb = query.group_by or []
+    for it in items:
+        if it[0] == "var" and it[1] not in gb:
+            raise ValueError(
+                f"SPARQL: projected ?{it[1]} is neither aggregated nor "
+                "in GROUP BY"
+            )
+        if it[0] == "expr" and any(v not in gb for v in it[1].vars):
+            raise ValueError(
+                "SPARQL: projected expression uses non-GROUP-BY variable"
+            )
+    missing = [v for v in gb if v not in bound.cols]
+    missing += [v for a in aggs for v in a.vars if v not in bound.cols]
+    if missing:
+        raise ValueError(
+            "SPARQL: GROUP BY/aggregate references unbound variable(s): "
+            + ", ".join("?" + v for v in sorted(set(missing)))
+        )
+    groups: dict[tuple, list[dict]] = {}
+    for r in bound.rows:
+        groups.setdefault(tuple(r.get(v) for v in gb), []).append(r)
+    if not gb and not groups:
+        groups[()] = []  # implicit single group over empty input
+    out_rows = []
+    for key, rows in groups.items():
+        row = dict(zip(gb, key))
+        for a in aggs:
+            row[a.alias] = _agg_eval(a, rows)
+        out_rows.append(row)
+    frame = NFrame(list(gb) + [a.alias for a in aggs], out_rows)
+    frame = n_apply_filters(frame, query.having)
+    cols = []
+    for it in items:
+        if it[0] == "var":
+            cols.append(it[1])
+        elif it[0] == "agg":
+            cols.append(it[1].alias)
+        else:
+            # projected expression over GROUP BY vars
+            alias = it[2]
+            for r in frame.rows:
+                r[alias] = eeval(it[1], r)
+            cols.append(alias)
+    return NFrame(cols, [{c: r.get(c) for c in cols} for r in frame.rows])
+
+
 def n_project(bound: NFrame, query: Query) -> NFrame:
-    """SELECT-clause projection — the differential generator only emits
-    ``SELECT [DISTINCT] *`` / plain-var projections, no aggregates."""
-    assert not query.group_by and not (
-        query.proj_items
-        and any(it[0] == "agg" for it in query.proj_items)
-    ), "naive oracle: aggregates not generated"
+    """SELECT-clause projection, mirroring ``_project`` (aggregates,
+    HAVING, DISTINCT; no ORDER/LIMIT — the differential compares
+    unordered multisets)."""
+    items = query.proj_items
+    aggs = [it[1] for it in items or [] if it[0] == "agg"]
+    if aggs or query.group_by:
+        out = _project_aggregated(bound, query)
+        if query.distinct:
+            seen, ded = set(), []
+            for r in out.rows:
+                key = tuple(r[c] for c in out.cols)
+                if key not in seen:
+                    seen.add(key)
+                    ded.append(r)
+            out = NFrame(out.cols, ded)
+        return out
+    if query.having:
+        raise ValueError("SPARQL: HAVING requires GROUP BY or aggregates")
     if query.proj_items is None:
         cols = sorted(bound.cols)
     else:

@@ -186,16 +186,72 @@ def _mk_query(rng: random.Random) -> str:
     return PREFIX + f"SELECT {distinct}* WHERE {{ " + " ".join(parts) + " }"
 
 
+AGG_TEMPLATES = [
+    "COUNT(*)",
+    "COUNT(?{v})",
+    "COUNT(DISTINCT ?{v})",
+    "SUM(?{v})",
+    "AVG(?{v})",
+    "MIN(?{v})",
+    "MAX(?{v})",
+    "SAMPLE(?{v})",
+    'GROUP_CONCAT(?{v}; SEPARATOR="|")',
+    "GROUP_CONCAT(DISTINCT ?{v})",
+]
+
+
+def _mk_agg_query(rng: random.Random) -> str:
+    """GROUP BY + aggregates over a BGP (optionally with OPTIONAL/UNION,
+    so null group keys and null aggregate inputs occur)."""
+    pool = VARS[:3]
+    pats = [_mk_pattern(rng, pool) for _ in range(rng.randint(1, 2))]
+    bound = sorted({v for p in pats for v in _pat_vars(p)})
+    if not bound:
+        pats.append(f"?{pool[0]} {rng.choice(PREDS)} ?{pool[-1]} .")
+        bound = sorted({v for p in pats for v in _pat_vars(p)})
+    parts = list(pats)
+    if rng.random() < 0.4:
+        g, _ = _mk_group(rng, pool, bound)
+        parts.append(f"OPTIONAL {{ {g} }}")
+    if rng.random() < 0.25:
+        a1, _ = _mk_group(rng, pool, bound)
+        a2, _ = _mk_group(rng, pool, bound)
+        parts.append(f"{{ {a1} }} UNION {{ {a2} }}")
+    gvar = rng.choice(bound)
+    avars = [v for v in VARS[:4] if v != gvar]
+    sel = [f"?{gvar}"]
+    want_having = rng.random() < 0.35
+    n_aggs = rng.randint(1, 2)
+    for i in range(n_aggs):
+        if i == 0 and want_having:
+            tpl = "COUNT(*)"  # HAVING references the alias, numerically
+        else:
+            tpl = rng.choice(AGG_TEMPLATES)
+        sel.append(f"({tpl.format(v=rng.choice(avars))} AS ?agg{i})")
+    having = ""
+    if want_having:
+        having = f" HAVING(?agg0 {rng.choice(['>', '>='])} {rng.randint(1, 2)})"
+    return (PREFIX + "SELECT " + " ".join(sel)
+            + " WHERE { " + " ".join(parts) + " }"
+            + f" GROUP BY ?{gvar}" + having)
+
+
+def _norm_val(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
 def _spark_frame(spark, triples):
     return spark.createDataFrame(
         triples, "subj string, pred string, obj string"
     )
 
 
-def _run_both(spark, seed: int):
+def _run_both(spark, seed: int, kind: str = "select"):
     rng = random.Random(seed)
     triples = _mk_graph(rng)
-    text = _mk_query(rng)
+    text = _mk_query(rng) if kind == "select" else _mk_agg_query(rng)
     tdf = _spark_frame(spark, triples)
 
     engine_err = naive_err = None
@@ -205,14 +261,16 @@ def _run_both(spark, seed: int):
         out = sparql.evaluate(tdf, text)
         engine_cols = out.columns
         engine_rows = Counter(
-            tuple(r[c] for c in sorted(engine_cols)) for r in out.collect()
+            tuple(_norm_val(r[c]) for c in sorted(engine_cols))
+            for r in out.collect()
         )
     except ValueError as e:
         engine_err = e
     try:
         nf = ns.n_evaluate(triples, text)
         naive_rows = Counter(
-            tuple(r.get(c) for c in sorted(nf.cols)) for r in nf.rows
+            tuple(_norm_val(r.get(c)) for c in sorted(nf.cols))
+            for r in nf.rows
         )
         naive_cols = nf.cols
     except ValueError as e:
@@ -239,6 +297,11 @@ def _run_both(spark, seed: int):
 @pytest.mark.parametrize("seed", list(range(40)))
 def test_differential_random_query(spark, seed):
     _run_both(spark, seed)
+
+
+@pytest.mark.parametrize("seed", list(range(1000, 1020)))
+def test_differential_random_aggregate(spark, seed):
+    _run_both(spark, seed, kind="agg")
 
 
 def test_differential_yields_comparisons(spark):
