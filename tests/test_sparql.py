@@ -509,6 +509,26 @@ def test_path_negated_property_set_rejects_var():
         raise AssertionError("expected parse error")
 
 
+def test_pattern_repeated_variable_self_loop(spark):
+    """``?a ex:p ?a`` binds both positions to the SAME term (self-loop);
+    previously crashed with COLUMN_ALREADY_EXISTS (differential find)."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "a"),
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "c", EX + "q", EX + "c"),
+        ],
+    )
+    q = f"PREFIX ex: <{EX}>\nSELECT ?a WHERE {{ ?a ex:p ?a . }}"
+    got = {r["a"] for r in sparql.evaluate(t, q).collect()}
+    assert got == {EX + "a"}
+    # repeated var across a path relation too
+    q2 = f"PREFIX ex: <{EX}>\nSELECT ?a WHERE {{ ?a ex:p|ex:q ?a . }}"
+    got2 = {r["a"] for r in sparql.evaluate(t, q2).collect()}
+    assert got2 == {EX + "a", EX + "c"}
+
+
 def test_filter_not_equal(spark):
     t = _triples(
         spark,

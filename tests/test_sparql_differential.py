@@ -182,6 +182,21 @@ def _mk_query(rng: random.Random) -> str:
             "VALUES (" + " ".join("?" + v for v in vs) + ") { "
             + " ".join(rows) + " }"
         )
+    if rng.random() < 0.25:
+        # { SELECT ... } subquery: only its projected vars join the outer
+        # solutions; half the time it aggregates (alias var is fresh)
+        sv = rng.choice(bound)
+        ov = next(v for v in VARS if v != sv)
+        sub_pat = f"?{sv} {rng.choice(PREDS)} ?{ov} ."
+        if rng.random() < 0.5:
+            agg = rng.choice(["COUNT(*)", f"MIN(?{ov})", f"COUNT(?{ov})"])
+            fresh = next(v for v in VARS if v not in bound and v != ov)
+            parts.append(
+                f"{{ SELECT ?{sv} ({agg} AS ?{fresh}) "
+                f"WHERE {{ {sub_pat} }} GROUP BY ?{sv} }}"
+            )
+        else:
+            parts.append(f"{{ SELECT ?{sv} WHERE {{ {sub_pat} }} }}")
     distinct = "DISTINCT " if rng.random() < 0.3 else ""
     return PREFIX + f"SELECT {distinct}* WHERE {{ " + " ".join(parts) + " }"
 
