@@ -1857,17 +1857,27 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
 
 
 def _instantiate(bound: DataFrame, template: list) -> DataFrame:
-    """Apply solutions to a triple template (CONSTRUCT / update halves)."""
+    """Apply solutions to a triple template (CONSTRUCT / update halves).
+
+    A solution leaving any of a template triple's variables unbound (an
+    OPTIONAL extension that did not match) produces NO triple from that
+    template — incomplete triples are dropped per the spec's CONSTRUCT
+    semantics, not emitted with null components."""
 
     def _tcol(term: Term, alias: str):
         return (
             F.col(term.value) if term.kind == "var" else F.lit(term.value)
         ).alias(alias)
 
-    parts = [
-        bound.select(_tcol(s, "subj"), _tcol(p, "pred"), _tcol(o, "obj"))
-        for s, p, o in template
-    ]
+    parts = []
+    for s, p, o in template:
+        src = bound
+        for term in (s, p, o):
+            if term.kind == "var":
+                src = src.where(F.col(term.value).isNotNull())
+        parts.append(
+            src.select(_tcol(s, "subj"), _tcol(p, "pred"), _tcol(o, "obj"))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

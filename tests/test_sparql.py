@@ -509,6 +509,24 @@ def test_path_negated_property_set_rejects_var():
         raise AssertionError("expected parse error")
 
 
+def test_construct_drops_incomplete_triples(spark):
+    """A template triple whose variable an OPTIONAL left unbound emits
+    nothing — not a null-component triple (spec CONSTRUCT semantics)."""
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "p", EX + "b"),
+            (EX + "c", EX + "p", EX + "d"),
+            (EX + "b", EX + "q", EX + "x"),
+        ],
+    )
+    q = (f"PREFIX ex: <{EX}>\nCONSTRUCT {{ ?s ex:made ?y }} WHERE "
+         f"{{ ?s ex:p ?o . OPTIONAL {{ ?o ex:q ?y }} }}")
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in sparql.evaluate(t, q).collect()}
+    assert got == {(EX + "a", EX + "made", EX + "x")}
+
+
 def test_pattern_repeated_variable_self_loop(spark):
     """``?a ex:p ?a`` binds both positions to the SAME term (self-loop);
     previously crashed with COLUMN_ALREADY_EXISTS (differential find)."""
