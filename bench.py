@@ -99,12 +99,26 @@ def run_headline(sf_dir: str, names: list[str] | None = None) -> dict:
             yield pdf
 
     spark.range(width * 10).repartition(width).mapInPandas(_noop, "id long").count()
+    # Per-query min-of-reps: BENCH.md §10/§13 established that this host's
+    # scheduler noise is up to 2.7x between identical runs, and min-of-runs
+    # is the only admissible comparator. Bake that into the artifact of
+    # record instead of leaving it to post-hoc analysis. "queries" carries
+    # the min; "queries_cold" the first (cold, staging-inclusive) pass so
+    # one-time stage-memoization charges stay visible.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+    cold: dict[str, float] = {}
     for name in names:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if rep == 0:
+                cold[name] = round(dt, 3)
+                rows[name] = n
+            best = min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # triples/sec over the triple-emitting stages (the BASELINE.json metric)
@@ -120,6 +134,8 @@ def run_headline(sf_dir: str, names: list[str] | None = None) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "reps": reps,
         "sf": _sf_of(sf_dir),
         "rows": rows,
         "triples_per_sec": round(triple_rows / triple_sec, 1) if triple_sec else None,

@@ -79,7 +79,12 @@ this module covers the language subset its shipped queries actually use
   evaluated bottom-up with their own aggregation/modifier scope; only
   projected vars join the enclosing group's solutions (SPARQL subquery
   scoping) — enables nested aggregation ("members of groups whose total
-  exceeds X"),
+  exceeds X"); typed aggregate columns are cast to their canonical string
+  form at the merge boundary so every solution frame stays string-typed
+  (see :func:`_stringify_frame`),
+- numeric coercion anywhere (FILTER comparisons, SELECT arithmetic,
+  SUM/AVG, ORDER BY casts) uses ``try_cast`` — a non-numeric term is
+  null, never an ANSI runtime error (Spark 4 defaults ANSI on),
 - SPARQL 1.1 Update statements (:func:`update`): ``INSERT DATA``,
   ``DELETE DATA``, ``DELETE WHERE``, ``DELETE {..} INSERT {..} WHERE {..}``
   — functional (the updated graph is returned), covering the reference's
@@ -263,7 +268,7 @@ class Filter:
             if self.rhs_kind == "var":
                 lhs, rhs = c, F.col(self.rhs)
             elif self.rhs_kind == "num":
-                lhs, rhs = c.cast("double"), F.lit(float(self.rhs))
+                lhs, rhs = c.try_cast("double"), F.lit(float(self.rhs))
             else:
                 lhs, rhs = c, F.lit(self.rhs)
             cond = {
@@ -310,10 +315,10 @@ class Expr:
         if self.kind == "strfn":
             return self.kids[0].column().cast("string")
         if self.kind == "neg":
-            return -self.kids[0].column().cast("double")
+            return -self.kids[0].column().try_cast("double")
         assert self.kind == "arith", self.kind
-        lhs = self.kids[0].column().cast("double")
-        rhs = self.kids[1].column().cast("double")
+        lhs = self.kids[0].column().try_cast("double")
+        rhs = self.kids[1].column().try_cast("double")
         return {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs, "/": lhs / rhs}[self.op]
 
 
@@ -343,7 +348,7 @@ class Aggregate:
         if self.func == "count":
             col = F.countDistinct(c) if self.distinct else F.count(c)
         elif self.func == "sum":
-            c = c.cast("double")
+            c = c.try_cast("double")
             col = F.sum_distinct(c) if self.distinct else F.sum(c)
         elif self.func == "avg":
             if self.distinct:
@@ -352,9 +357,9 @@ class Aggregate:
                         "SPARQL: AVG(DISTINCT expr) supported for plain "
                         "variables only"
                     )
-                col = F.expr(f"avg(DISTINCT CAST(`{self.arg.value}` AS DOUBLE))")
+                col = F.expr(f"avg(DISTINCT TRY_CAST(`{self.arg.value}` AS DOUBLE))")
             else:
-                col = F.avg(c.cast("double"))
+                col = F.avg(c.try_cast("double"))
         elif self.func == "min":
             col = F.min(c)
         elif self.func == "max":
@@ -1471,7 +1476,7 @@ def _project(bound: DataFrame, query: Query) -> DataFrame:
                     f"SPARQL: ORDER BY ?{var} must be a projected column "
                     "(ordering by non-projected variables is unsupported)"
                 )
-            c = F.col(var).cast("double") if numeric else F.col(var)
+            c = F.col(var).try_cast("double") if numeric else F.col(var)
             keys.append(c.desc() if desc else c.asc())
         out = out.orderBy(*keys)
     if query.offset:
@@ -1510,6 +1515,25 @@ def _apply_filters(bound: DataFrame, filters: list | None) -> DataFrame:
             )
         bound = bound.where(f.column())
     return bound
+
+
+def _stringify_frame(df: DataFrame) -> DataFrame:
+    """Cast a subquery result back to the store's all-string frame before
+    it joins the enclosing group's solutions. Aggregate columns come out
+    typed (COUNT → bigint, SUM/AVG → double); if such an alias shares its
+    name with an outer string-typed variable, Spark would coerce the
+    STRING join key to the numeric type — an ANSI cast error on any IRI
+    value. Casting at the boundary keeps every solution frame string-typed
+    (the engine-wide convention) and makes such joins term-equality on the
+    canonical string form."""
+    fields = df.schema.fields
+    if all(f.dataType.typeName() == "string" for f in fields):
+        return df
+    return df.select(*[
+        F.col(f.name).cast("string").alias(f.name)
+        if f.dataType.typeName() != "string" else F.col(f.name)
+        for f in fields
+    ])
 
 
 def _merge(bound: DataFrame | None, other: DataFrame, how: str = "inner") -> DataFrame:
@@ -1779,7 +1803,7 @@ def _group_solution(triples: DataFrame, node: "GroupNode",
         for sq in c.subqueries:
             # bottom-up: the subquery solves + projects first; only its
             # projected vars join this group's solutions (subquery scope)
-            df = _merge(df, _project(_solve(triples, sq), sq))
+            df = _merge(df, _stringify_frame(_project(_solve(triples, sq), sq)))
         df = _apply_binds(df, c.binds)
         for names, rows in c.values:
             df = _values_join(df, names, rows)
@@ -1826,7 +1850,7 @@ def _solve(triples: DataFrame, query: Query) -> DataFrame:
         # a subquery is a complete SELECT evaluated bottom-up (its own
         # aggregation/modifiers run first); only its PROJECTED vars are
         # visible to the outer query (SPARQL subquery scoping)
-        base = _merge(base, _project(_solve(triples, sq), sq))
+        base = _merge(base, _stringify_frame(_project(_solve(triples, sq), sq)))
     if query.unions:
         combos = []
         for arm_combo in product(*query.unions):

@@ -152,7 +152,7 @@ def _num(v):
     try:
         return float(v)
     except (TypeError, ValueError):
-        return None  # Spark cast('double') on a non-numeric string -> null
+        return None  # engine uses try_cast('double'): non-numeric -> null
 
 
 def _k_not(v):
@@ -452,6 +452,20 @@ def n_apply_exists_minus(triples, bound: NFrame, exists_filters,
 # --------------------------------------------------------------- solve
 
 
+def n_stringify(frame: NFrame) -> NFrame:
+    """Mirror the engine's _stringify_frame: a subquery's typed aggregate
+    values (int COUNT, float SUM/AVG) become their canonical string form
+    at the merge boundary, so shared-var joins compare strings (Spark's
+    bigint/double cast-to-string == Python's str for this domain)."""
+    rows = [
+        {k: (str(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+             else v)
+         for k, v in r.items()}
+        for r in frame.rows
+    ]
+    return NFrame(frame.cols, rows)
+
+
 def n_group_solution(triples, node: GroupNode, allow_defer: bool = False):
     combos = _dnf(node)
     frames, defs = [], []
@@ -461,7 +475,7 @@ def n_group_solution(triples, node: GroupNode, allow_defer: bool = False):
             raise ValueError("SPARQL: a group needs at least one triple pattern")
         df = n_join_patterns(triples, c.patterns) if c.patterns else None
         for sq in c.subqueries:
-            df = n_merge(df, n_project(n_solve(triples, sq), sq))
+            df = n_merge(df, n_stringify(n_project(n_solve(triples, sq), sq)))
         df = n_apply_binds(df, c.binds)
         for names, rows in c.values:
             df = n_values_join(df, names, rows)
@@ -493,7 +507,7 @@ def n_solve(triples, query: Query) -> NFrame:
     base = (n_join_patterns(triples, query.patterns)
             if query.patterns else None)
     for sq in query.subqueries or []:
-        base = n_merge(base, n_project(n_solve(triples, sq), sq))
+        base = n_merge(base, n_stringify(n_project(n_solve(triples, sq), sq)))
     if query.unions:
         combos = []
         for arm_combo in product(*query.unions):
@@ -642,7 +656,40 @@ def n_project(bound: NFrame, query: Query) -> NFrame:
     return NFrame(cols, rows)
 
 
+def n_modifiers(frame: NFrame, query: Query) -> NFrame:
+    """ORDER BY / OFFSET / LIMIT, mirroring the engine's conventions:
+    Spark default null placement (ASC = NULLS FIRST, DESC = NULLS LAST —
+    both fall out of treating unbound as the smallest value), lexicographic
+    string comparison, ``xsd:double(?v)`` casting non-numeric strings to
+    null. Keys are applied last-first over Python's stable sort, which is
+    equivalent to one multi-key comparison."""
+    rows = frame.rows
+    if query.order_by:
+        for var, desc, numeric in reversed(query.order_by):
+            if var not in frame.cols:
+                raise ValueError(
+                    f"SPARQL: ORDER BY ?{var} must be a projected column "
+                    "(ordering by non-projected variables is unsupported)"
+                )
+
+            def key(r, var=var, numeric=numeric):
+                v = r.get(var)
+                if numeric and v is not None:
+                    try:
+                        v = float(v)
+                    except ValueError:
+                        v = None
+                return (v is not None, v)
+
+            rows = sorted(rows, key=key, reverse=desc)
+    if query.offset:
+        rows = rows[query.offset:]
+    if query.limit is not None:
+        rows = rows[: query.limit]
+    return NFrame(frame.cols, rows)
+
+
 def n_evaluate(triples: list[Triple], text: str) -> NFrame:
     q = sparql.parse(text)
     assert q.form == "select", q.form
-    return n_project(n_solve(triples, q), q)
+    return n_modifiers(n_project(n_solve(triples, q), q), q)

@@ -135,6 +135,19 @@ def _mk_group(rng: random.Random, pool: list[str], outer: list[str],
     if depth < 1 and bound and rng.random() < 0.2:
         sub, _ = _mk_group(rng, pool, bound, depth + 1)
         parts.append(f"OPTIONAL {{ {sub} }}")
+    if depth < 1 and bound and rng.random() < 0.15:
+        # group-scoped { SELECT } subquery joining on one bound var
+        sv = rng.choice(bound)
+        ov = next(v for v in VARS if v != sv)
+        sub_pat = f"?{sv} {rng.choice(PREDS)} ?{ov} ."
+        if rng.random() < 0.5:
+            fresh = next(v for v in VARS if v not in bound and v != ov)
+            parts.append(
+                f"{{ SELECT ?{sv} (COUNT(?{ov}) AS ?{fresh}) "
+                f"WHERE {{ {sub_pat} }} GROUP BY ?{sv} }}"
+            )
+        else:
+            parts.append(f"{{ SELECT ?{sv} WHERE {{ {sub_pat} }} }}")
     return " ".join(parts), bound
 
 
@@ -201,6 +214,48 @@ def _mk_query(rng: random.Random) -> str:
     return PREFIX + f"SELECT {distinct}* WHERE {{ " + " ".join(parts) + " }"
 
 
+def _mk_mod_query(rng: random.Random) -> str:
+    """Solution-modifier branch: ORDER BY (mixed ASC/DESC, optional
+    xsd:double cast) + LIMIT/OFFSET. The ORDER BY key list always ends
+    with every projected variable lexicographically, so the ordering is
+    total up to fully-identical rows — which makes the ordered-list
+    comparison against the naive interpreter deterministic even under
+    LIMIT (interchangeable duplicates are the only ties)."""
+    pool = VARS[: rng.randint(2, 3)]
+    pats = [_mk_pattern(rng, pool) for _ in range(rng.randint(1, 2))]
+    bound = sorted({v for p in pats for v in _pat_vars(p)})
+    if not bound:
+        pats.append(f"?{pool[0]} {rng.choice(PREDS)} ?{pool[-1]} .")
+        bound = sorted({v for p in pats for v in _pat_vars(p)})
+    parts = list(pats)
+    if rng.random() < 0.4:  # OPTIONAL => null cells exercise null ordering
+        g, _ = _mk_group(rng, pool, bound)
+        parts.append(f"OPTIONAL {{ {g} }}")
+    if rng.random() < 0.3:
+        parts.append(f"FILTER({_mk_filter(rng, bound, [])})")
+    distinct = "DISTINCT " if rng.random() < 0.3 else ""
+    keys = []
+    if rng.random() < 0.4:  # numeric-cast key first (IRIs cast to null)
+        v = rng.choice(bound)
+        kw = rng.choice(["ASC", "DESC"])
+        keys.append(f"{kw}(xsd:double(?{v}))")
+    for v in rng.sample(bound, len(bound)):  # total-order tail
+        r = rng.random()
+        if r < 0.4:
+            keys.append(f"?{v}")
+        else:
+            keys.append(f"{rng.choice(['ASC', 'DESC'])}(?{v})")
+    tail = " ORDER BY " + " ".join(keys)
+    if rng.random() < 0.7:
+        tail += f" LIMIT {rng.randint(1, 8)}"
+    if rng.random() < 0.4:
+        tail += f" OFFSET {rng.randint(1, 3)}"
+    xsd = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+    return (PREFIX + xsd + f"SELECT {distinct}"
+            + " ".join("?" + v for v in bound)
+            + " WHERE { " + " ".join(parts) + " }" + tail)
+
+
 AGG_TEMPLATES = [
     "COUNT(*)",
     "COUNT(?{v})",
@@ -263,11 +318,17 @@ def _spark_frame(spark, triples):
     )
 
 
+_MAKERS = {"select": _mk_query, "agg": _mk_agg_query, "mod": _mk_mod_query}
+
+
 def _run_both(spark, seed: int, kind: str = "select"):
     rng = random.Random(seed)
     triples = _mk_graph(rng)
-    text = _mk_query(rng) if kind == "select" else _mk_agg_query(rng)
+    text = _MAKERS[kind](rng)
     tdf = _spark_frame(spark, triples)
+    # modifiers branch: ORDER BY makes row ORDER part of the contract —
+    # compare ordered lists instead of multisets
+    wrap = list if kind == "mod" else Counter
 
     engine_err = naive_err = None
     engine_rows = naive_rows = None
@@ -275,7 +336,7 @@ def _run_both(spark, seed: int, kind: str = "select"):
     try:
         out = sparql.evaluate(tdf, text)
         engine_cols = out.columns
-        engine_rows = Counter(
+        engine_rows = wrap(
             tuple(_norm_val(r[c]) for c in sorted(engine_cols))
             for r in out.collect()
         )
@@ -283,7 +344,7 @@ def _run_both(spark, seed: int, kind: str = "select"):
         engine_err = e
     try:
         nf = ns.n_evaluate(triples, text)
-        naive_rows = Counter(
+        naive_rows = wrap(
             tuple(_norm_val(r.get(c)) for c in sorted(nf.cols))
             for r in nf.rows
         )
@@ -300,11 +361,14 @@ def _run_both(spark, seed: int, kind: str = "select"):
     assert sorted(engine_cols) == sorted(naive_cols), (
         f"seed {seed}: column mismatch {engine_cols} vs {naive_cols}\n{text}"
     )
+    if isinstance(engine_rows, Counter):
+        detail = (f"engine-only: {engine_rows - naive_rows}\n"
+                  f"naive-only: {naive_rows - engine_rows}")
+    else:
+        detail = f"engine: {engine_rows}\nnaive: {naive_rows}"
     assert engine_rows == naive_rows, (
-        f"seed {seed}: solution multiset mismatch\nquery:\n{text}\n"
-        f"graph: {triples}\n"
-        f"engine-only: {engine_rows - naive_rows}\n"
-        f"naive-only: {naive_rows - engine_rows}"
+        f"seed {seed}: solution {'list' if kind == 'mod' else 'multiset'} "
+        f"mismatch\nquery:\n{text}\ngraph: {triples}\n{detail}"
     )
     return "compared"
 
@@ -317,6 +381,11 @@ def test_differential_random_query(spark, seed):
 @pytest.mark.parametrize("seed", list(range(1000, 1020)))
 def test_differential_random_aggregate(spark, seed):
     _run_both(spark, seed, kind="agg")
+
+
+@pytest.mark.parametrize("seed", list(range(2000, 2020)))
+def test_differential_random_modifiers(spark, seed):
+    _run_both(spark, seed, kind="mod")
 
 
 def test_differential_yields_comparisons(spark):
