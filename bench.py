@@ -135,6 +135,7 @@ def run_headline(sf_dir: str, names: list[str] | None = None) -> dict:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
         "reps": reps,
         "sf": _sf_of(sf_dir),
         "rows": rows,

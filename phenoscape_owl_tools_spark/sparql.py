@@ -1893,6 +1893,18 @@ def _instantiate(bound: DataFrame, template: list) -> DataFrame:
             F.col(term.value) if term.kind == "var" else F.lit(term.value)
         ).alias(alias)
 
+    missing = sorted({
+        t.value for triple in template for t in triple
+        if t.kind == "var" and t.value not in bound.columns
+    })
+    if missing:
+        # statically detectable: a template var no pattern binds would
+        # instantiate zero triples from EVERY solution — almost always a
+        # typo'd query; raise like the FILTER/BIND strictness checks do
+        raise ValueError(
+            "SPARQL: template references variable(s) not bound by any "
+            "pattern: " + ", ".join("?" + v for v in missing)
+        )
     parts = []
     for s, p, o in template:
         src = bound

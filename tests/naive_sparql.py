@@ -693,3 +693,32 @@ def n_evaluate(triples: list[Triple], text: str) -> NFrame:
     q = sparql.parse(text)
     assert q.form == "select", q.form
     return n_modifiers(n_project(n_solve(triples, q), q), q)
+
+
+def n_construct(triples: list[Triple], text: str) -> NFrame:
+    """CONSTRUCT, mirroring ``_instantiate``: template vars unbound by any
+    pattern raise; a solution leaving a template triple's var null emits
+    no triple from that template; the result is a SET of triples."""
+    q = sparql.parse(text)
+    assert q.form == "construct", q.form
+    bound = n_solve(triples, q)
+    missing = sorted({
+        t.value for triple in q.template for t in triple
+        if t.kind == "var" and t.value not in bound.cols
+    })
+    if missing:
+        raise ValueError(
+            "SPARQL: template references variable(s) not bound by any "
+            "pattern: " + ", ".join("?" + v for v in missing)
+        )
+    out = set()
+    for r in bound.rows:
+        for s, p, o in q.template:
+            vals = tuple(
+                r.get(t.value) if t.kind == "var" else t.value
+                for t in (s, p, o)
+            )
+            if all(v is not None for v in vals):
+                out.add(vals)
+    return NFrame(["subj", "pred", "obj"],
+                  [dict(zip(("subj", "pred", "obj"), t)) for t in out])

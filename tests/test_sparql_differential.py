@@ -318,7 +318,52 @@ def _spark_frame(spark, triples):
     )
 
 
-_MAKERS = {"select": _mk_query, "agg": _mk_agg_query, "mod": _mk_mod_query}
+def _mk_construct_query(rng: random.Random) -> str:
+    """CONSTRUCT branch: template instantiation over a solved WHERE —
+    exercises per-template null-drop (OPTIONAL vars in templates), set
+    semantics of the emitted graph, and the unbound-template-var
+    strictness error (~1 in 12 queries uses a var no pattern binds)."""
+    pool = VARS[: rng.randint(2, 3)]
+    pats = [_mk_pattern(rng, pool) for _ in range(rng.randint(1, 2))]
+    bound = sorted({v for p in pats for v in _pat_vars(p)})
+    if not bound:
+        pats.append(f"?{pool[0]} {rng.choice(PREDS)} ?{pool[-1]} .")
+        bound = sorted({v for p in pats for v in _pat_vars(p)})
+    parts = list(pats)
+    opt_vars: list[str] = []
+    if rng.random() < 0.5:  # OPTIONAL vars may be null in the template
+        g, ovars = _mk_group(rng, pool, bound)
+        parts.append(f"OPTIONAL {{ {g} }}")
+        opt_vars = [v for v in ovars if v not in bound]
+    if rng.random() < 0.3:
+        parts.append(f"FILTER({_mk_filter(rng, bound, [])})")
+
+    def term(kind: str) -> str:
+        r = rng.random()
+        template_pool = bound + opt_vars
+        if r < 0.08:  # unbound template var -> both sides must raise
+            unused = [v for v in VARS if v not in template_pool]
+            if unused:
+                return "?" + rng.choice(unused)
+        if kind == "pred":
+            return ("?" + rng.choice(template_pool)) if r < 0.25 \
+                else rng.choice(PREDS)
+        if r < 0.7:
+            return "?" + rng.choice(template_pool)
+        if kind == "obj" and r < 0.85:
+            return rng.choice(LITERALS)
+        return rng.choice(SUBJECTS)
+
+    tmpl = " . ".join(
+        f"{term('subj')} {term('pred')} {term('obj')}"
+        for _ in range(rng.randint(1, 3))
+    )
+    return (PREFIX + "CONSTRUCT { " + tmpl + " } WHERE { "
+            + " ".join(parts) + " }")
+
+
+_MAKERS = {"select": _mk_query, "agg": _mk_agg_query, "mod": _mk_mod_query,
+           "construct": _mk_construct_query}
 
 
 def _run_both(spark, seed: int, kind: str = "select"):
@@ -343,7 +388,8 @@ def _run_both(spark, seed: int, kind: str = "select"):
     except ValueError as e:
         engine_err = e
     try:
-        nf = ns.n_evaluate(triples, text)
+        nf = (ns.n_construct if kind == "construct"
+              else ns.n_evaluate)(triples, text)
         naive_rows = wrap(
             tuple(_norm_val(r.get(c)) for c in sorted(nf.cols))
             for r in nf.rows
@@ -386,6 +432,11 @@ def test_differential_random_aggregate(spark, seed):
 @pytest.mark.parametrize("seed", list(range(2000, 2020)))
 def test_differential_random_modifiers(spark, seed):
     _run_both(spark, seed, kind="mod")
+
+
+@pytest.mark.parametrize("seed", list(range(3000, 3020)))
+def test_differential_random_construct(spark, seed):
+    _run_both(spark, seed, kind="construct")
 
 
 def test_differential_yields_comparisons(spark):
