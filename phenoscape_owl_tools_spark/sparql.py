@@ -92,9 +92,11 @@ this module covers the language subset its shipped queries actually use
 
 Path semantics follow the engine's KB-build convention rather than strict
 SPARQL 1.1 zero-length-path semantics: a *bare* starred pattern
-(``?s p* ?o``) evaluates to the transitive closure WITHOUT trivial (x, x)
-pairs — matching the materialized `subclass_closure` convention — while a
-star in sequence position (``p/q*``) includes the zero-length hop
+(``?s p* ?o``) evaluates to the transitive closure WITHOUT zero-length
+(x, x) pairs — matching the materialized `subclass_closure` convention.
+A pair (x, x) reachable in ≥1 hop (a self-edge, or a cycle through the
+graph) IS kept: only the spec's universal zero-length arm is dropped.
+A star in sequence position (``p/q*``) includes the zero-length hop
 (``R_p ∪ R_p ∘ TC(q)``), matching `instance_closure`
 (profile_instance_closure_construct.rq:11). Deviation is documented here
 because the reference consumes these queries against a reasoner-materialized
@@ -1287,9 +1289,26 @@ def _path_relation(triples: DataFrame, node: PathNode) -> DataFrame:
         return sub.select(F.col("o").alias("s"), F.col("s").alias("o"))
     if node.op in ("star", "plus"):
         sub = _path_relation(triples, node.kids[0])
-        return transitive_closure(
+        tc = transitive_closure(
             sub.withColumnRenamed("s", "sub").withColumnRenamed("o", "sup")
         ).select(F.col("sub").alias("s"), F.col("sup").alias("o"))
+        # transitive_closure is irreflexive by design (the ontology-
+        # hierarchy convention: x ⊑ x is never materialized). For property
+        # paths over arbitrary graphs, (x, x) reachable in ≥1 hop IS a
+        # solution — a direct self-edge, or an edge whose target reaches
+        # back through the closure. Only ZERO-length pairs stay excluded
+        # (module docstring). One bounded extra join: |R| ⋈ |TC|.
+        direct = sub.where(F.col("s") == F.col("o")).select("s")
+        e, t = sub.alias("e"), tc.alias("t")
+        back = e.join(
+            t,
+            (F.col("e.o") == F.col("t.s")) & (F.col("t.o") == F.col("e.s")),
+            "left_semi",
+        ).select("s")
+        loops = direct.unionByName(back).dropDuplicates().select(
+            F.col("s"), F.col("s").alias("o")
+        )
+        return tc.unionByName(loops)
     if node.op == "opt":
         # bare p? — zero-length arm dropped (KB-build convention, docstring)
         return _path_relation(triples, node.kids[0])

@@ -130,6 +130,13 @@ def _mk_group(rng: random.Random, pool: list[str], outer: list[str],
     pats = [_mk_pattern(rng, pool) for _ in range(rng.randint(1, 2))]
     bound = sorted({v for p in pats for v in _pat_vars(p)})
     parts = list(pats)
+    if depth < 1 and rng.random() < 0.15:
+        # nested UNION inside this group (engine flattens to the arm
+        # product at parse time; arms may carry their own filters)
+        a1, v1 = _mk_group(rng, pool, outer, depth + 1)
+        a2, v2 = _mk_group(rng, pool, outer, depth + 1)
+        parts.append(f"{{ {a1} }} UNION {{ {a2} }}")
+        bound = sorted(set(bound) | (set(v1) & set(v2)))
     if bound and rng.random() < 0.45:
         parts.append(f"FILTER({_mk_filter(rng, bound, outer)})")
     if depth < 1 and bound and rng.random() < 0.2:
