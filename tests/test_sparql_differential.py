@@ -308,9 +308,20 @@ def _mk_agg_query(rng: random.Random) -> str:
     having = ""
     if want_having:
         having = f" HAVING(?agg0 {rng.choice(['>', '>='])} {rng.randint(1, 2)})"
+    tail = ""
+    if rng.random() < 0.4:
+        # group keys are distinct after GROUP BY, so ORDER BY ?gvar alone
+        # is a total order — safe for ordered-list comparison under LIMIT
+        kw = rng.choice(["", "ASC", "DESC"])
+        key = f"?{gvar}" if not kw else f"{kw}(?{gvar})"
+        tail = f" ORDER BY {key}"
+        if rng.random() < 0.6:
+            tail += f" LIMIT {rng.randint(1, 5)}"
+        if rng.random() < 0.3:
+            tail += f" OFFSET {rng.randint(1, 2)}"
     return (PREFIX + "SELECT " + " ".join(sel)
             + " WHERE { " + " ".join(parts) + " }"
-            + f" GROUP BY ?{gvar}" + having)
+            + f" GROUP BY ?{gvar}" + having + tail)
 
 
 def _norm_val(v):
@@ -378,9 +389,13 @@ def _run_both(spark, seed: int, kind: str = "select"):
     triples = _mk_graph(rng)
     text = _MAKERS[kind](rng)
     tdf = _spark_frame(spark, triples)
-    # modifiers branch: ORDER BY makes row ORDER part of the contract —
-    # compare ordered lists instead of multisets
-    wrap = list if kind == "mod" else Counter
+    # ORDER BY makes row ORDER part of the contract — compare ordered
+    # lists instead of multisets (generators only emit total-order keys)
+    try:
+        ordered = bool(sparql.parse(text).order_by)
+    except ValueError:
+        ordered = False  # parse error: both sides must raise below
+    wrap = list if ordered else Counter
 
     engine_err = naive_err = None
     engine_rows = naive_rows = None
