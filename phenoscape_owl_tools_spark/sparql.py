@@ -22,9 +22,15 @@ this module covers the language subset its shipped queries actually use
   ``!(p1|^p2|...)`` (forward members exclude predicates on forward
   triples, ``^``-members on inverted triples; the two arms union per
   spec; ``!()`` matches any forward triple),
-- ``FILTER`` with ``isIRI(?v)``, ``regex(?v, "pat"[, "flags"])``,
-  comparisons ``?v OP term`` (``= != < <= > >=``; term = var, IRI, number,
-  or string — numeric RHS compares numerically), ``!`` negation, ``&&``
+- ``FILTER`` with ``isIRI(?v)``, ``regex(expr, "pat"[, "flags"])``,
+  comparisons ``expr OP expr`` (``= != < <= > >=``; full scalar
+  expressions on both sides — a side that is statically numeric (a
+  number, arithmetic, or STRLEN/ABS/CEIL/FLOOR/ROUND) makes the
+  comparison numeric via double try_casts, else both sides compare on
+  their canonical string form), ``?v [NOT] IN (term, ...)`` (term
+  equality on canonical strings), the boolean builtins ``STRSTARTS /
+  STRENDS / CONTAINS / sameTerm / BOUND / isIRI / isURI / isLiteral /
+  isNumeric`` over scalar-expression arguments, ``!`` negation, ``&&``
   conjunction and ``||`` disjunction with spec precedence (``&&`` binds
   tighter) and parenthesized sub-expressions. A FILTER referencing a
   variable no pattern in scope binds raises (strict — a typo'd var must
@@ -54,7 +60,15 @@ this module covers the language subset its shipped queries actually use
   string-typed store; ``ASC/DESC(xsd:double(?v))`` for numeric order),
   ``LIMIT`` / ``OFFSET``,
 - group extensions: ``BIND(expr AS ?v)`` (expr: vars, literals,
-  ``+ - * /`` over double casts, ``CONCAT``, ``STR``) and ``VALUES``
+  ``+ - * /`` over double casts, ``CONCAT``, ``STR``, the scalar
+  builtins ``STRLEN / UCASE / LCASE / SUBSTR / STRBEFORE / STRAFTER /
+  REPLACE / ABS / CEIL / FLOOR / ROUND / COALESCE`` and
+  ``IF(boolcond, then, else)`` — ROUND is the spec's half-toward-+inf;
+  the bound value lands in the solution frame in canonical STRING form,
+  preserving the engine-wide all-string invariant; ``LANG / DATATYPE /
+  isBlank / BNODE / IRI / UUID / NOW / RAND ...`` are rejected with an
+  explanation — the string-typed store erases what they inspect) and
+  ``VALUES``
   inline data (single- and multi-var; ``UNDEF`` joins on the row's
   defined columns only via defined-mask grouping — still pure equi-joins;
   always broadcast), ``MINUS { G }`` (left-anti on shared vars; disjoint
@@ -230,17 +244,30 @@ class Filter:
     (rhs = pattern, flags = regex flags, 'i' supported), ``cmp``
     (var OP rhs; rhs_kind 'num' compares numerically via a double cast,
     'var' compares against another binding, else string comparison),
+    ``cmpe`` (expr OP expr — exprs=(lhs, rhs); numeric=True compares via
+    double try_casts when either side is statically numeric, else both
+    sides compare on their canonical string form), ``boolfn`` (op = a
+    boolean builtin — STRSTARTS/STRENDS/CONTAINS/SAMETERM/BOUND/
+    isIRI/isLiteral/isNumeric/REGEX — over Expr args; BOUND and
+    isNumeric return False, never null, on an unbound argument, matching
+    Spark's isNotNull; sameTerm is string equality over the string-typed
+    store; isLiteral = NOT isIRI — the store skolemizes blank nodes),
+    ``in`` (exprs=(lhs,), items = canonical term strings; neg = NOT IN;
+    a null lhs yields null, per Spark's isin),
     ``and`` / ``or`` (boolean combinations of ``kids`` — a disjunction is a
     plain Column OR over the SAME solution frame, never a UNION rewrite)."""
 
-    kind: str  # 'isiri' | 'regex' | 'cmp' | 'and' | 'or'
+    kind: str  # 'isiri'|'regex'|'cmp'|'cmpe'|'boolfn'|'in'|'and'|'or'
     var: str
     neg: bool = False
-    op: str = ""          # cmp: '=' '!=' '<' '<=' '>' '>='
-    rhs: str = ""         # cmp: value/var name; regex: pattern
+    op: str = ""          # cmp/cmpe: '=' '!=' '<' '<=' '>' '>='; boolfn: name
+    rhs: str = ""         # cmp: value/var name; regex/boolfn-regex: pattern
     rhs_kind: str = ""    # cmp: 'var' | 'num' | 'str' | 'iri'
     flags: str = ""       # regex flags
     kids: tuple["Filter", ...] = ()  # and/or: sub-expressions
+    exprs: tuple = ()     # cmpe/boolfn/in: Expr operands
+    items: tuple = ()     # in: RHS term list (canonical strings)
+    numeric: bool = False  # cmpe: compare as doubles
 
     @property
     def vars(self) -> tuple[str, ...]:
@@ -250,15 +277,42 @@ class Filter:
                 for v in k.vars:
                     seen[v] = None
             return tuple(seen)
+        if self.kind in ("cmpe", "boolfn", "in"):
+            seen = {}
+            for e in self.exprs:
+                for v in e.vars:
+                    seen[v] = None
+            return tuple(seen)
         if self.kind == "cmp" and self.rhs_kind == "var":
             return (self.var, self.rhs)
         return (self.var,)
+
+    _CMP = {
+        "=": lambda l, r: l == r, "!=": lambda l, r: l != r,
+        "<": lambda l, r: l < r, "<=": lambda l, r: l <= r,
+        ">": lambda l, r: l > r, ">=": lambda l, r: l >= r,
+    }
 
     def column(self):
         if self.kind in ("and", "or"):
             cond = self.kids[0].column()
             for k in self.kids[1:]:
                 cond = (cond & k.column()) if self.kind == "and" else (cond | k.column())
+            return ~cond if self.neg else cond
+        if self.kind == "cmpe":
+            if self.numeric:
+                lhs = self.exprs[0].column().try_cast("double")
+                rhs = self.exprs[1].column().try_cast("double")
+            else:
+                lhs = self.exprs[0].column().cast("string")
+                rhs = self.exprs[1].column().cast("string")
+            cond = self._CMP[self.op](lhs, rhs)
+            return ~cond if self.neg else cond
+        if self.kind == "in":
+            cond = self.exprs[0].column().cast("string").isin(*self.items)
+            return ~cond if self.neg else cond
+        if self.kind == "boolfn":
+            cond = self._boolfn_column()
             return ~cond if self.neg else cond
         c = F.col(self.var)
         if self.kind == "isiri":
@@ -273,33 +327,95 @@ class Filter:
                 lhs, rhs = c.try_cast("double"), F.lit(float(self.rhs))
             else:
                 lhs, rhs = c, F.lit(self.rhs)
-            cond = {
-                "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
-                "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
-            }[self.op]
+            cond = self._CMP[self.op](lhs, rhs)
         return ~cond if self.neg else cond
+
+    def _boolfn_column(self):
+        name = self.op
+        a = self.exprs[0].column().cast("string")
+        if name == "bound":
+            return a.isNotNull()
+        if name == "isiri":
+            return a.rlike(_IS_IRI_RE)
+        if name == "isliteral":
+            return ~a.rlike(_IS_IRI_RE)
+        if name == "isnumeric":
+            return a.try_cast("double").isNotNull()
+        if name == "regex":
+            pat = ("(?i)" + self.rhs) if "i" in self.flags else self.rhs
+            return a.rlike(pat)
+        b = self.exprs[1].column().cast("string")
+        if name == "strstarts":
+            return a.startswith(b)
+        if name == "strends":
+            return a.endswith(b)
+        if name == "contains":
+            return a.contains(b)
+        assert name == "sameterm", name
+        return a == b
+
+
+# scalar built-ins (Expr kind 'fn'), by lowercase name -> arity range.
+# Numeric ones go through try_cast(double) (a non-numeric term is null,
+# never an ANSI error); string ones cast their argument to string first so
+# typed columns (aggregate aliases, arithmetic BINDs) are always safe input.
+_SCALAR_FNS = {
+    "strlen": (1, 1), "ucase": (1, 1), "lcase": (1, 1),
+    "substr": (2, 3), "strbefore": (2, 2), "strafter": (2, 2),
+    "replace": (3, 4),
+    "abs": (1, 1), "ceil": (1, 1), "floor": (1, 1), "round": (1, 1),
+    "coalesce": (1, 99),
+}
+# statically numeric-valued Expr fns — drives comparison typing (see
+# Filter kind 'cmpe') exactly like a numeric literal RHS does
+_NUMERIC_FNS = frozenset({"strlen", "abs", "ceil", "floor", "round"})
+# boolean-valued builtins (FILTER atoms / IF conditions), name -> arity
+_BOOL_FN_ARITY = {
+    "strstarts": 2, "strends": 2, "contains": 2, "sameterm": 2,
+    "bound": 1, "isiri": 1, "isuri": 1, "isliteral": 1, "isnumeric": 1,
+}
+# recognized-but-unsupported builtins: the string-typed store erases
+# language tags / datatypes / blank-node identity, so these cannot be
+# answered honestly — raise a clear error instead of a wrong answer
+_REJECTED_FNS = frozenset({
+    "lang", "datatype", "langmatches", "strlang", "strdt", "isblank",
+    "bnode", "iri", "uri", "uuid", "struuid", "now", "rand",
+    "encode_for_uri",
+})
 
 
 @dataclass(frozen=True)
 class Expr:
     """Scalar expression (BIND bodies, projected expressions, aggregate
     arguments). Arithmetic casts operands to double (the triple store is
-    string-typed); ``concat``/``str`` stay string-typed.
+    string-typed); ``concat``/``str``/string builtins stay string-typed.
 
     kinds: ``var`` | ``num`` | ``str`` | ``iri`` | ``arith`` (op: + - * /)
     | ``concat`` | ``strfn`` (STR(e) — identity over our string store,
-    accepted for query compat) | ``neg`` (unary minus)."""
+    accepted for query compat) | ``neg`` (unary minus) | ``fn`` (op = a
+    ``_SCALAR_FNS`` name, kids = args) | ``if`` (cond = a Filter evaluated
+    with the engine's three-valued logic; a null condition takes the else
+    branch, mirroring Spark's ``when``; both branches surface as their
+    canonical string form so the solution frame stays string-typed).
+
+    SUBSTR positions follow the SPARQL spec for pos >= 1 (1-based,
+    length-clamped); non-positive positions are Spark ``substr``
+    passthrough and outside the supported contract."""
 
     kind: str
     value: str = ""
     op: str = ""
     kids: tuple["Expr", ...] = ()
+    cond: "Filter | None" = None  # 'if' only
 
     @property
     def vars(self) -> tuple[str, ...]:
         if self.kind == "var":
             return (self.value,)
         seen: dict[str, None] = {}
+        if self.cond is not None:
+            for v in self.cond.vars:
+                seen[v] = None
         for k in self.kids:
             for v in k.vars:
                 seen[v] = None
@@ -318,10 +434,89 @@ class Expr:
             return self.kids[0].column().cast("string")
         if self.kind == "neg":
             return -self.kids[0].column().try_cast("double")
+        if self.kind == "if":
+            t = self.kids[0].column().cast("string")
+            e = self.kids[1].column().cast("string")
+            return F.when(self.cond.column(), t).otherwise(e)
+        if self.kind == "fn":
+            return self._fn_column()
         assert self.kind == "arith", self.kind
         lhs = self.kids[0].column().try_cast("double")
         rhs = self.kids[1].column().try_cast("double")
         return {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs, "/": lhs / rhs}[self.op]
+
+    def _fn_column(self):
+        name = self.op
+        args = [k.column() for k in self.kids]
+        s = args[0].cast("string") if args else None
+        if name == "strlen":
+            return F.length(s)
+        if name == "ucase":
+            return F.upper(s)
+        if name == "lcase":
+            return F.lower(s)
+        if name == "substr":
+            pos = args[1].try_cast("int")
+            if len(args) == 3:
+                ln = F.greatest(args[2].try_cast("int"), F.lit(0))
+            else:  # to end of string (clamped — never negative)
+                ln = F.greatest(F.length(s) - pos + F.lit(1), F.lit(0))
+            return s.substr(pos, ln)
+        if name in ("strbefore", "strafter"):
+            t = args[1].cast("string")
+            # instr("abc", "") == 1, which gives the spec's empty-needle
+            # answers for free: STRBEFORE -> "", STRAFTER -> whole string
+            at = F.instr(s, t)
+            if name == "strbefore":
+                hit = s.substr(F.lit(1), at - F.lit(1))
+            else:
+                hit = s.substr(at + F.length(t),
+                               F.greatest(F.length(s), F.lit(1)))
+            # needle absent -> "" (spec); null operand propagates null
+            return F.when(at > 0, hit).otherwise(
+                F.when(s.isNull() | t.isNull(), F.lit(None)).otherwise(F.lit("")))
+        if name == "replace":
+            pat = self.kids[1]
+            if pat.kind != "str" or (len(self.kids) > 3 and self.kids[3].kind != "str"):
+                raise ValueError(
+                    "SPARQL: REPLACE pattern/flags must be string literals")
+            p = pat.value
+            if len(self.kids) > 3 and "i" in self.kids[3].value:
+                p = "(?i)" + p
+            rep = args[2].cast("string")
+            return F.regexp_replace(s, F.lit(p), rep)
+        if name == "coalesce":
+            # all arms cast to canonical string form — mixed-typed arms
+            # (a string var vs an arithmetic result) must not ANSI-coerce
+            return F.coalesce(*[a.cast("string") for a in args])
+        x = args[0].try_cast("double")
+        if name == "abs":
+            return F.abs(x)
+        if name == "ceil":
+            return F.ceil(x).cast("double")
+        if name == "floor":
+            return F.floor(x).cast("double")
+        assert name == "round", name
+        # SPARQL rounds half toward +inf (Spark's round() rounds half
+        # away from zero — floor(x + 0.5) is the spec's rule)
+        return F.floor(x + F.lit(0.5)).cast("double")
+
+
+def _numericish(e: Expr) -> bool:
+    """True when the expression is statically numeric-valued — a
+    comparison with a numericish side compares numerically (both sides
+    try_cast to double), exactly as a numeric literal RHS always has."""
+    if e.kind in ("num", "arith", "neg"):
+        return True
+    if e.kind == "fn":
+        if e.op in _NUMERIC_FNS:
+            return True
+        if e.op == "coalesce":
+            return all(_numericish(k) for k in e.kids)
+        return False
+    if e.kind == "if":
+        return all(_numericish(k) for k in e.kids)
+    return False
 
 
 @dataclass(frozen=True)
@@ -765,6 +960,8 @@ class _Parser:
             self.expect(")")
             return node
         low = tok.lower()
+        calls = (":" not in tok and self.i + 1 < len(self.toks)
+                 and self.toks[self.i + 1] == "(")
         if low == "concat":
             self.next()
             self.expect("(")
@@ -780,6 +977,41 @@ class _Parser:
             kid = self._expr()
             self.expect(")")
             return Expr("strfn", kids=(kid,))
+        if calls and low in _SCALAR_FNS:
+            self.next()
+            self.expect("(")
+            kids = [self._expr()]
+            while self.peek() == ",":
+                self.next()
+                kids.append(self._expr())
+            self.expect(")")
+            lo, hi = _SCALAR_FNS[low]
+            if not lo <= len(kids) <= hi:
+                raise ValueError(
+                    f"SPARQL parse: {tok}() takes {lo}"
+                    + (f"-{hi}" if hi != lo and hi < 99 else "+" if hi >= 99 else "")
+                    + f" arguments, got {len(kids)}")
+            return Expr("fn", op=low, kids=tuple(kids))
+        if calls and low == "if":
+            self.next()
+            self.expect("(")
+            cond = self._filter_or()
+            self.expect(",")
+            then = self._expr()
+            self.expect(",")
+            other = self._expr()
+            self.expect(")")
+            return Expr("if", kids=(then, other), cond=cond)
+        if calls and low in _REJECTED_FNS:
+            raise ValueError(
+                f"SPARQL: {tok}() is not supported — the string-typed "
+                "store erases language tags, datatypes and blank-node "
+                "identity at ingest (and non-deterministic builtins are "
+                "rejected by design)")
+        if calls and (low in _BOOL_FN_ARITY or low == "regex"):
+            raise ValueError(
+                f"SPARQL: boolean builtin {tok}() is valid in FILTER and "
+                "IF(...) conditions, not as a scalar expression")
         tok = self.next()
         if tok.startswith("?"):
             return Expr("var", tok[1:])
@@ -866,16 +1098,14 @@ class _Parser:
             self.next()
             neg = not neg
         tok = self.peek()
-        if tok is not None and tok.lower() == "isiri":
+        low = tok.lower() if tok is not None else ""
+        calls = (tok is not None and ":" not in tok
+                 and self.i + 1 < len(self.toks)
+                 and self.toks[self.i + 1] == "(")
+        if calls and low == "regex":
             self.next()
             self.expect("(")
-            var = self._filter_var()
-            self.expect(")")
-            return Filter("isiri", var, neg=neg)
-        if tok is not None and tok.lower() == "regex":
-            self.next()
-            self.expect("(")
-            var = self._filter_var()
+            arg = self._expr()
             self.expect(",")
             pat = self.next()
             if not pat.startswith('"'):
@@ -888,28 +1118,79 @@ class _Parser:
                     raise ValueError("SPARQL parse: regex flags must be a string")
                 flags = ftok[1:-1]
             self.expect(")")
-            return Filter("regex", var, neg=neg, rhs=pat[1:-1], flags=flags)
-        if self.peek() == "(":  # parenthesized sub-expression (full &&/|| grammar)
+            if arg.kind == "var":  # legacy AST shape for the common case
+                return Filter("regex", arg.value, neg=neg,
+                              rhs=pat[1:-1], flags=flags)
+            return Filter("boolfn", "", neg=neg, op="regex",
+                          rhs=pat[1:-1], flags=flags, exprs=(arg,))
+        if calls and low in _BOOL_FN_ARITY:
             self.next()
-            inner = self._filter_or()
+            self.expect("(")
+            args = [self._expr()]
+            for _ in range(_BOOL_FN_ARITY[low] - 1):
+                self.expect(",")
+                args.append(self._expr())
             self.expect(")")
-            import dataclasses
-
-            return dataclasses.replace(inner, neg=inner.neg != neg)
-        var = self._filter_var()
+            if low in ("isiri", "isuri") and args[0].kind == "var":
+                return Filter("isiri", args[0].value, neg=neg)  # legacy shape
+            name = "isiri" if low == "isuri" else low
+            return Filter("boolfn", "", neg=neg, op=name, exprs=tuple(args))
+        if calls and low in _REJECTED_FNS:
+            raise ValueError(
+                f"SPARQL: {tok}() is not supported — the string-typed "
+                "store erases language tags, datatypes and blank-node "
+                "identity at ingest (and non-deterministic builtins are "
+                "rejected by design)")
+        if tok == "(":
+            # either a parenthesized BOOLEAN sub-expression (full &&/||
+            # grammar) or a parenthesized ARITHMETIC comparison operand
+            # ("(?x + 1) > 2") — try boolean first, backtrack on failure
+            save = self.i
+            try:
+                self.next()
+                inner = self._filter_or()
+                self.expect(")")
+                return dataclasses.replace(inner, neg=inner.neg != neg)
+            except ValueError:
+                self.i = save
+        lhs = self._expr()
+        nxt = self.peek()
+        nlow = nxt.lower() if nxt is not None else ""
+        if nlow == "in" or (
+            nlow == "not" and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].lower() == "in"
+        ):
+            negated = nlow == "not"
+            self.next()
+            if negated:
+                self.expect("in")
+            self.expect("(")
+            items: list[str] = []
+            while self.peek() != ")":
+                t = self.next()
+                if t == ",":
+                    continue
+                if t.startswith('"'):
+                    items.append(t[1:-1])
+                elif re.fullmatch(_NUM_RE, t):
+                    items.append(t)
+                else:
+                    items.append(self.resolve(t))
+            self.expect(")")
+            return Filter("in", "", neg=neg != negated,
+                          exprs=(lhs,), items=tuple(items))
+        if nxt not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(
+                "SPARQL parse: expected a comparison, IN, or boolean "
+                f"builtin in FILTER, got {nxt!r}")
         op = self.next()
-        if op not in ("=", "!=", "<", "<=", ">", ">="):
-            raise ValueError(f"SPARQL parse: unsupported FILTER operator {op!r}")
-        rhs = self.next()
-        if rhs.startswith("?"):
-            kind, val = "var", rhs[1:]
-        elif rhs.startswith('"'):
-            kind, val = "str", rhs[1:-1]
-        elif re.fullmatch(_NUM_RE, rhs):
-            kind, val = "num", rhs
-        else:
-            kind, val = "iri", self.resolve(rhs)
-        return Filter("cmp", var, neg=neg, op=op, rhs=val, rhs_kind=kind)
+        rhs = self._expr()
+        if lhs.kind == "var" and rhs.kind in ("var", "num", "str", "iri"):
+            # legacy AST shape: var OP simple-term
+            return Filter("cmp", lhs.value, neg=neg, op=op,
+                          rhs=rhs.value, rhs_kind=rhs.kind)
+        return Filter("cmpe", "", neg=neg, op=op, exprs=(lhs, rhs),
+                      numeric=_numericish(lhs) or _numericish(rhs))
 
     def parse(self) -> Query:
         form = self.next().lower()
@@ -1571,7 +1852,12 @@ def _merge(bound: DataFrame | None, other: DataFrame, how: str = "inner") -> Dat
 
 def _apply_binds(bound: DataFrame, binds: list) -> DataFrame:
     """BIND(expr AS ?v) extends solutions in place; a BIND may reference
-    earlier BIND targets (list order = textual order within the group)."""
+    earlier BIND targets (list order = textual order within the group).
+
+    The bound value is cast to its canonical STRING form — the engine-wide
+    all-string frame invariant (see :func:`_stringify_frame`). A typed
+    BIND column would otherwise coerce a STRING join key to double when
+    the var is shared across groups — an ANSI cast error on any IRI."""
     for expr, var in binds or []:
         if var in bound.columns:
             raise ValueError(f"SPARQL: BIND target ?{var} is already bound")
@@ -1581,7 +1867,7 @@ def _apply_binds(bound: DataFrame, binds: list) -> DataFrame:
                 "SPARQL: BIND expression references unbound variable(s): "
                 + ", ".join("?" + v for v in missing)
             )
-        bound = bound.withColumn(var, expr.column())
+        bound = bound.withColumn(var, expr.column().cast("string"))
     return bound
 
 

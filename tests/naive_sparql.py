@@ -155,6 +155,17 @@ def _num(v):
         return None  # engine uses try_cast('double'): non-numeric -> null
 
 
+def _canon(v):
+    """Canonical string form — mirrors Spark's cast(x AS STRING) for the
+    value ranges the differential generator emits (ints, small doubles,
+    strings). None stays None (null propagates)."""
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return str(v)
+    return str(v)
+
+
 def _k_not(v):
     return None if v is None else (not v)
 
@@ -175,6 +186,13 @@ def _k_or(a, b):
     return False
 
 
+_CMP_FNS = {
+    "=": lambda l, r: l == r, "!=": lambda l, r: l != r,
+    "<": lambda l, r: l < r, "<=": lambda l, r: l <= r,
+    ">": lambda l, r: l > r, ">=": lambda l, r: l >= r,
+}
+
+
 def feval(f: Filter, row: dict):
     """Three-valued filter evaluation (True / False / None)."""
     if f.kind in ("and", "or"):
@@ -183,6 +201,20 @@ def feval(f: Filter, row: dict):
         for k in f.kids[1:]:
             acc = comb(acc, feval(k, row))
         return _k_not(acc) if f.neg else acc
+    if f.kind == "cmpe":
+        if f.numeric:
+            lhs, rhs = _num(eeval(f.exprs[0], row)), _num(eeval(f.exprs[1], row))
+        else:
+            lhs, rhs = _canon(eeval(f.exprs[0], row)), _canon(eeval(f.exprs[1], row))
+        cond = None if lhs is None or rhs is None else _CMP_FNS[f.op](lhs, rhs)
+        return _k_not(cond) if f.neg else cond
+    if f.kind == "in":
+        v = _canon(eeval(f.exprs[0], row))
+        cond = None if v is None else v in f.items
+        return _k_not(cond) if f.neg else cond
+    if f.kind == "boolfn":
+        cond = _boolfn_eval(f, row)
+        return _k_not(cond) if f.neg else cond
     val = row.get(f.var)
     if f.kind == "isiri":
         cond = None if val is None else bool(re.search(_IS_IRI_RE, val))
@@ -223,6 +255,37 @@ def n_apply_filters(frame: NFrame, filters) -> NFrame:
     return frame
 
 
+def _boolfn_eval(f: Filter, row: dict):
+    """Boolean builtins — mirrors Filter._boolfn_column exactly:
+    BOUND/isNumeric return False (never None) on a null argument
+    (Spark's isNotNull); the rest null-propagate."""
+    a = _canon(eeval(f.exprs[0], row))
+    if f.op == "bound":
+        return a is not None
+    if f.op == "isnumeric":
+        return _num(a) is not None
+    if a is None:
+        return None
+    if f.op == "isiri":
+        return bool(re.search(_IS_IRI_RE, a))
+    if f.op == "isliteral":
+        return not re.search(_IS_IRI_RE, a)
+    if f.op == "regex":
+        pat = ("(?i)" + f.rhs) if "i" in f.flags else f.rhs
+        return bool(re.search(pat, a))
+    b = _canon(eeval(f.exprs[1], row))
+    if b is None:
+        return None
+    if f.op == "strstarts":
+        return a.startswith(b)
+    if f.op == "strends":
+        return a.endswith(b)
+    if f.op == "contains":
+        return b in a
+    assert f.op == "sameterm", f.op
+    return a == b
+
+
 def eeval(e: Expr, row: dict):
     if e.kind == "var":
         return row.get(e.value)
@@ -243,6 +306,13 @@ def eeval(e: Expr, row: dict):
     if e.kind == "neg":
         v = _num(eeval(e.kids[0], row))
         return None if v is None else -v
+    if e.kind == "if":
+        # a null/false condition takes the else branch (Spark's when);
+        # branches surface in canonical string form (engine casts both)
+        branch = e.kids[0] if feval(e.cond, row) is True else e.kids[1]
+        return _canon(eeval(branch, row))
+    if e.kind == "fn":
+        return _fn_eval(e, row)
     assert e.kind == "arith", e.kind
     lhs = _num(eeval(e.kids[0], row))
     rhs = _num(eeval(e.kids[1], row))
@@ -251,6 +321,70 @@ def eeval(e: Expr, row: dict):
     if e.op == "/":
         return lhs / rhs if rhs != 0 else None  # Spark double div-by-0 -> null? (engine tests avoid it)
     return {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs}[e.op]
+
+
+def _fn_eval(e: Expr, row: dict):
+    """Scalar builtins — mirrors Expr._fn_column: string fns operate on
+    canonical string forms, numeric fns on try_cast doubles, nulls
+    propagate. SUBSTR is implemented for pos >= 1 (the engine contract)."""
+    import math
+
+    name = e.op
+    if name == "coalesce":
+        for k in e.kids:
+            v = eeval(k, row)
+            if v is not None:
+                return _canon(v)
+        return None
+    s = _canon(eeval(e.kids[0], row))
+    if name in ("abs", "ceil", "floor", "round"):
+        x = _num(s)
+        if x is None:
+            return None
+        if name == "abs":
+            return abs(x)
+        if name == "ceil":
+            return float(math.ceil(x))
+        if name == "floor":
+            return float(math.floor(x))
+        return float(math.floor(x + 0.5))  # spec: half toward +inf
+    if s is None:
+        return None
+    if name == "strlen":
+        return len(s)
+    if name == "ucase":
+        return s.upper()
+    if name == "lcase":
+        return s.lower()
+    if name == "substr":
+        p = _num(_canon(eeval(e.kids[1], row)))
+        if p is None:
+            return None
+        pos = int(p)
+        if len(e.kids) == 3:
+            l = _num(_canon(eeval(e.kids[2], row)))
+            if l is None:
+                return None
+            ln = max(int(l), 0)
+        else:
+            ln = max(len(s) - pos + 1, 0)
+        return s[pos - 1: pos - 1 + ln]
+    if name in ("strbefore", "strafter"):
+        t = _canon(eeval(e.kids[1], row))
+        if t is None:
+            return None
+        idx = s.find(t)
+        if idx < 0:
+            return ""
+        return s[:idx] if name == "strbefore" else s[idx + len(t):]
+    assert name == "replace", name
+    rep = _canon(eeval(e.kids[2], row))
+    if rep is None:
+        return None
+    pat = e.kids[1].value
+    if len(e.kids) > 3 and "i" in e.kids[3].value:
+        pat = "(?i)" + pat
+    return re.sub(pat, rep, s)
 
 
 # --------------------------------------------------------------- joins
@@ -305,8 +439,9 @@ def n_apply_binds(bound: NFrame, binds) -> NFrame:
                 "SPARQL: BIND expression references unbound variable(s): "
                 + ", ".join("?" + v for v in missing)
             )
+        # engine stringifies BIND values (all-string frame invariant)
         bound = NFrame(bound.cols + [var],
-                       [{**r, var: eeval(expr, r)} for r in bound.rows])
+                       [{**r, var: _canon(eeval(expr, r))} for r in bound.rows])
     return bound
 
 

@@ -12,9 +12,14 @@ FILTER/BIND references) must also agree: when one side raises
 
 Feature space exercised: property paths (iri / seq / alt / inv / star /
 plus / ? / negated property sets / variable predicates), FILTER booleans
-(&& || ! parens, = != < > against var/str/num, regex, isIRI), OPTIONAL
-(nested, with outer-referencing deferred filters), multiple UNION blocks,
-BIND(concat), VALUES with UNDEF, MINUS, FILTER [NOT] EXISTS, DISTINCT.
+(&& || ! parens, = != < > against var/str/num/expressions, regex, isIRI,
+STRSTARTS/STRENDS/CONTAINS over expressions, BOUND/isNumeric/isLiteral,
+[NOT] IN), the scalar builtin library in BIND and comparison operands
+(STRLEN/UCASE/LCASE/SUBSTR/STRBEFORE/STRAFTER/REPLACE/ABS/CEIL/FLOOR/
+ROUND/COALESCE/IF/CONCAT/STR, nested, with null inputs from OPTIONAL
+vars and non-numeric terms), OPTIONAL (nested, with outer-referencing
+deferred filters), multiple UNION blocks, VALUES with UNDEF, MINUS,
+FILTER [NOT] EXISTS, DISTINCT.
 """
 from __future__ import annotations
 
@@ -92,6 +97,41 @@ def _mk_pattern(rng: random.Random, pool: list[str]) -> str:
     return f"{subj} {pred} {obj} ."
 
 
+def _mk_sexpr(rng: random.Random, pool: list[str], depth: int = 0) -> str:
+    """A scalar expression over bound vars — exercises the builtin
+    function library (string fns, numeric fns, COALESCE/IF) with null
+    inputs flowing from OPTIONAL vars and non-numeric terms."""
+    r = rng.random()
+    v = "?" + rng.choice(pool)
+    if depth >= 2 or r < 0.35:
+        return v if rng.random() < 0.75 else rng.choice(LITERALS)
+    inner = lambda: _mk_sexpr(rng, pool, depth + 1)  # noqa: E731
+    r = rng.random()
+    if r < 0.12:
+        return f"STRLEN({inner()})"
+    if r < 0.22:
+        return f"{rng.choice(['UCASE', 'LCASE'])}({inner()})"
+    if r < 0.32:
+        return f"SUBSTR({inner()}, {rng.randint(1, 4)})" if rng.random() < 0.5 \
+            else f"SUBSTR({inner()}, {rng.randint(1, 3)}, {rng.randint(0, 3)})"
+    if r < 0.42:
+        fn = rng.choice(["STRBEFORE", "STRAFTER"])
+        return f'{fn}({inner()}, "{rng.choice(["b", "n", "1", ""])}")'
+    if r < 0.50:
+        return f'REPLACE({inner()}, "[0-9]", "{rng.choice(["#", ""])}")'
+    if r < 0.62:
+        fn = rng.choice(["ABS", "CEIL", "FLOOR", "ROUND"])
+        return f"{fn}({inner()})"
+    if r < 0.72:
+        return f"COALESCE({inner()}, {inner()})"
+    if r < 0.82:
+        cond = _mk_filter(rng, pool, [], depth=1)
+        return f"IF({cond}, {inner()}, {inner()})"
+    if r < 0.92:
+        return f"({inner()} {rng.choice(['+', '-', '*'])} {inner()})"
+    return f"CONCAT(STR({inner()}), {rng.choice(LITERALS)})"
+
+
 def _mk_filter(rng: random.Random, bound: list[str], outer: list[str],
                depth: int = 0) -> str:
     r = rng.random()
@@ -104,10 +144,28 @@ def _mk_filter(rng: random.Random, bound: list[str], outer: list[str],
     pool = bound + outer if outer and rng.random() < 0.4 else bound
     v = rng.choice(pool)
     r = rng.random()
-    if r < 0.15:
+    if r < 0.1:
         return f"isIRI(?{v})"
-    if r < 0.3:
-        return f'regex(?{v}, "n[0-3]")'
+    if r < 0.18:
+        arg = f"?{v}" if rng.random() < 0.6 else _mk_sexpr(rng, pool, 1)
+        return f'regex({arg}, "n[0-3]")'
+    if r < 0.26:  # boolean builtins over expressions
+        fn = rng.choice(["STRSTARTS", "STRENDS", "CONTAINS"])
+        lit = rng.choice(['"a"', '"1"', '"n"', '"abc"'])
+        arg = f"?{v}" if rng.random() < 0.6 else _mk_sexpr(rng, pool, 1)
+        return f"{fn}({arg}, {lit})"
+    if r < 0.32:
+        fn = rng.choice(["BOUND", "isNumeric", "isLiteral"])
+        return f"{fn}(?{v})"
+    if r < 0.38:  # [NOT] IN over term lists
+        items = rng.sample(SUBJECTS + LITERALS, rng.randint(1, 3))
+        neg = "NOT " if rng.random() < 0.4 else ""
+        return f"?{v} {neg}IN (" + ", ".join(items) + ")"
+    if r < 0.46:  # expression comparison (numeric or string typing)
+        lhs = _mk_sexpr(rng, pool, 1)
+        rhs = _mk_sexpr(rng, pool, 1) if rng.random() < 0.5 \
+            else rng.choice(["1", "2", "3", '"5"', '"abc"'])
+        return f"{lhs} {rng.choice(['=', '!=', '<', '>'])} {rhs}"
     op = rng.choice(["=", "!=", "<", ">"])
     rhs_r = rng.random()
     if rhs_r < 0.4 and len(pool) > 1:
@@ -182,11 +240,13 @@ def _mk_query(rng: random.Random) -> str:
         g, _ = _mk_group(rng, pool, bound)
         neg = "NOT " if rng.random() < 0.5 else ""
         parts.append(f"FILTER {neg}EXISTS {{ {g} }}")
-    if rng.random() < 0.25:
+    if rng.random() < 0.35:
         tgt = next((v for v in VARS if v not in bound), None)
         if tgt:
             src = rng.choice(bound)
-            parts.append(f'BIND(CONCAT(STR(?{src}), "_x") AS ?{tgt})')
+            body = (f'CONCAT(STR(?{src}), "_x")' if rng.random() < 0.3
+                    else _mk_sexpr(rng, bound))
+            parts.append(f"BIND({body} AS ?{tgt})")
     if rng.random() < 0.25:
         vs = rng.sample(bound, min(len(bound), rng.randint(1, 2)))
         rows = []
