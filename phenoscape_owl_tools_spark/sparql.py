@@ -53,12 +53,17 @@ this module covers the language subset its shipped queries actually use
   expressions ``(expr AS ?alias)``, aggregates ``COUNT(*)``,
   ``COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT([DISTINCT] expr
   [; SEPARATOR="s"])`` with ``GROUP BY ?v ...`` and ``HAVING(...)``
-  (one ``groupBy().agg()`` — Catalyst plans the partial aggregate);
+  (one ``groupBy().agg()`` — Catalyst plans the partial aggregate;
+  HAVING accepts both projection-alias references and DIRECT aggregate
+  calls — ``HAVING(COUNT(*) > 2)`` — computed in the same agg under
+  internal aliases);
   deviation: the solver is set-based, so aggregates run over DISTINCT
   solutions, not SPARQL's bag semantics,
 - solution modifiers: ``ORDER BY [ASC|DESC](?v)`` (lexicographic over the
   string-typed store; ``ASC/DESC(xsd:double(?v))`` for numeric order),
-  ``LIMIT`` / ``OFFSET``,
+  ``LIMIT`` / ``OFFSET``, and the spec's trailing ``VALUES`` clause
+  (parameterized queries — joined into the WHERE group's solutions,
+  the spec's ``Join(P, ToMultiset(data))`` translation),
 - group extensions: ``BIND(expr AS ?v)`` (expr: vars, literals,
   ``+ - * /`` over double casts, ``CONCAT``, ``STR``, the scalar
   builtins ``STRLEN / UCASE / LCASE / SUBSTR / STRBEFORE / STRAFTER /
@@ -407,11 +412,14 @@ class Expr:
     op: str = ""
     kids: tuple["Expr", ...] = ()
     cond: "Filter | None" = None  # 'if' only
+    agg: "Aggregate | None" = None  # 'agg' only (HAVING aggregate calls)
 
     @property
     def vars(self) -> tuple[str, ...]:
         if self.kind == "var":
             return (self.value,)
+        if self.kind == "agg":
+            return self.agg.vars
         seen: dict[str, None] = {}
         if self.cond is not None:
             for v in self.cond.vars:
@@ -422,6 +430,10 @@ class Expr:
         return tuple(seen)
 
     def column(self):
+        if self.kind == "agg":
+            raise AssertionError(
+                "Expr('agg') must be rewritten to its internal alias by "
+                "_rewrite_having before compilation")
         if self.kind == "var":
             return F.col(self.value)
         if self.kind == "num":
@@ -516,6 +528,8 @@ def _numericish(e: Expr) -> bool:
         return False
     if e.kind == "if":
         return all(_numericish(k) for k in e.kids)
+    if e.kind == "agg":
+        return e.agg.func in ("count", "sum", "avg")
     return False
 
 
@@ -1012,6 +1026,12 @@ class _Parser:
             raise ValueError(
                 f"SPARQL: boolean builtin {tok}() is valid in FILTER and "
                 "IF(...) conditions, not as a scalar expression")
+        if calls and low in self._AGG_FUNCS:
+            if not getattr(self, "_in_having", False):
+                raise ValueError(
+                    f"SPARQL: aggregate {tok}() is only valid in SELECT "
+                    "projections and HAVING constraints")
+            return Expr("agg", agg=self._aggregate())
         tok = self.next()
         if tok.startswith("?"):
             return Expr("var", tok[1:])
@@ -1023,6 +1043,34 @@ class _Parser:
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max", "sample", "group_concat")
 
+    def _aggregate(self) -> "Aggregate":
+        """An aggregate call, cursor on the function name."""
+        func = self.next().lower()
+        self.expect("(")
+        distinct = False
+        if self.peek() and self.peek().lower() == "distinct":
+            self.next()
+            distinct = True
+        if func == "count" and self.peek() == "*":
+            self.next()
+            self.expect(")")
+            return Aggregate("count", None, distinct, alias="")
+        arg = self._expr()
+        separator = " "
+        if func == "group_concat" and self.peek() == ";":
+            self.next()
+            if self.peek() and self.peek().lower() == "separator":
+                self.next()
+                self.expect("=")
+                sep_tok = self.next()
+                if not sep_tok.startswith('"'):
+                    raise ValueError(
+                        "SPARQL parse: SEPARATOR needs a string literal"
+                    )
+                separator = sep_tok[1:-1]
+        self.expect(")")
+        return Aggregate(func, arg, distinct, alias="", separator=separator)
+
     def _agg_or_expr(self) -> "Aggregate | Expr":
         """Inside a ``( ... AS ?alias )`` projection item: either an
         aggregate call or a scalar expression (alias attached by caller)."""
@@ -1030,31 +1078,7 @@ class _Parser:
         if tok is not None and tok.lower() in self._AGG_FUNCS and (
             self.i + 1 < len(self.toks) and self.toks[self.i + 1] == "("
         ):
-            func = self.next().lower()
-            self.expect("(")
-            distinct = False
-            if self.peek() and self.peek().lower() == "distinct":
-                self.next()
-                distinct = True
-            if func == "count" and self.peek() == "*":
-                self.next()
-                self.expect(")")
-                return Aggregate("count", None, distinct, alias="")
-            arg = self._expr()
-            separator = " "
-            if func == "group_concat" and self.peek() == ";":
-                self.next()
-                if self.peek() and self.peek().lower() == "separator":
-                    self.next()
-                    self.expect("=")
-                    sep_tok = self.next()
-                    if not sep_tok.startswith('"'):
-                        raise ValueError(
-                            "SPARQL parse: SEPARATOR needs a string literal"
-                        )
-                    separator = sep_tok[1:-1]
-            self.expect(")")
-            return Aggregate(func, arg, distinct, alias="", separator=separator)
+            return self._aggregate()
         return self._expr()
 
     def _filter_constraint(self) -> list[Filter]:
@@ -1257,9 +1281,10 @@ class _Parser:
             raise ValueError("SPARQL parse: empty SELECT projection")
         self.expect("where")
         node = self.group()
-        group_by, having, order_by, limit, offset = self._modifiers(
+        group_by, having, order_by, limit, offset, tvals = self._modifiers(
             stop_at_brace=sub
         )
+        node.values.extend(tvals)
         projection = [
             it[1] if it[0] == "var" else
             (it[1].alias if it[0] == "agg" else it[2])
@@ -1288,7 +1313,8 @@ class _Parser:
             if self.peek() and self.peek().lower() == "where":
                 self.next()
             node = self.group()
-            group_by, having, order_by, limit, offset = self._modifiers()
+            group_by, having, order_by, limit, offset, tvals = self._modifiers()
+            node.values.extend(tvals)
             if group_by or having or order_by or offset is not None:
                 raise ValueError(
                     "SPARQL parse: CONSTRUCT supports LIMIT only "
@@ -1321,7 +1347,9 @@ class _Parser:
                 var = self._filter_var()
                 self.expect("where")
                 node = self.group()
-                group_by, having, order_by, limit, offset = self._modifiers()
+                group_by, having, order_by, limit, offset, tvals = \
+                    self._modifiers()
+                node.values.extend(tvals)
                 if group_by or having or order_by or offset is not None:
                     raise ValueError(
                         "SPARQL parse: DESCRIBE supports LIMIT only"
@@ -1344,13 +1372,16 @@ class _Parser:
 
     def _modifiers(self, stop_at_brace: bool = False):
         """Trailing solution modifiers: GROUP BY / HAVING / ORDER BY /
-        LIMIT / OFFSET (LIMIT and OFFSET accepted in either order).
+        LIMIT / OFFSET (LIMIT and OFFSET accepted in either order), plus
+        the spec's trailing VALUES clause (joined into the WHERE group's
+        solutions — the spec's Join(P, ToMultiset(data)) translation).
         ``stop_at_brace`` (subquery mode) returns at the enclosing '}'."""
         group_by: list[str] = []
         having: list[Filter] = []
         order_by: list[tuple[str, bool, bool]] = []
         limit: int | None = None
         offset: int | None = None
+        trailing_values: list[tuple[list[str], list[tuple]]] = []
         while self.peek() is not None:
             if stop_at_brace and self.peek() == "}":
                 break
@@ -1366,7 +1397,11 @@ class _Parser:
                     )
             elif kw == "having":
                 self.next()
-                having.extend(self._filter_constraint())
+                self._in_having = True  # aggregate calls become Expr('agg')
+                try:
+                    having.extend(self._filter_constraint())
+                finally:
+                    self._in_having = False
             elif kw == "order":
                 self.next()
                 self.expect("by")
@@ -1394,11 +1429,14 @@ class _Parser:
             elif kw == "offset":
                 self.next()
                 offset = int(self.next())
+            elif kw == "values":
+                self.next()
+                trailing_values.append(self._values_block())
             else:
                 raise ValueError(
                     f"SPARQL parse: unexpected trailing token {self.peek()!r}"
                 )
-        return group_by, having, order_by, limit, offset
+        return group_by, having, order_by, limit, offset, trailing_values
 
     _NUMERIC_CASTS = (
         "http://www.w3.org/2001/XMLSchema#double",
@@ -1700,6 +1738,61 @@ def _describe(triples: DataFrame, resources: DataFrame) -> DataFrame:
     return by_subj.unionByName(by_obj).dropDuplicates()
 
 
+def _rewrite_having(having):
+    """Split HAVING constraints into (rewritten filters, extra aggregates).
+
+    Direct aggregate calls inside HAVING (the spec form
+    ``HAVING(COUNT(*) > 2)``) are computed in the SAME ``groupBy().agg()``
+    as the projection's aggregates, under internal ``__hav<i>`` aliases;
+    each ``Expr('agg')`` node is replaced by a var reference to its alias
+    (identical calls share one alias), and the internal columns are
+    dropped by the terminal projection."""
+    if not having:
+        return having, []
+    aliased: dict = {}
+
+    def walk_expr(e: Expr) -> Expr:
+        if e.kind == "agg":
+            if e.agg not in aliased:
+                aliased[e.agg] = f"__hav{len(aliased)}"
+            return Expr("var", aliased[e.agg])
+        changed = False
+        kids = []
+        for k in e.kids:
+            nk = walk_expr(k)
+            changed |= nk is not k
+            kids.append(nk)
+        cond = e.cond
+        if cond is not None:
+            nc = walk_filter(cond)
+            changed |= nc is not cond
+            cond = nc
+        if not changed:
+            return e
+        return dataclasses.replace(e, kids=tuple(kids), cond=cond)
+
+    def walk_filter(f: Filter) -> Filter:
+        changed = False
+        kids = []
+        for k in f.kids:
+            nk = walk_filter(k)
+            changed |= nk is not k
+            kids.append(nk)
+        exprs = []
+        for e in f.exprs:
+            ne = walk_expr(e)
+            changed |= ne is not e
+            exprs.append(ne)
+        if not changed:
+            return f
+        return dataclasses.replace(f, kids=tuple(kids), exprs=tuple(exprs))
+
+    out = [walk_filter(f) for f in having]
+    extra = [dataclasses.replace(agg, alias=alias)
+             for agg, alias in aliased.items()]
+    return out, extra
+
+
 def _project(bound: DataFrame, query: Query) -> DataFrame:
     """SELECT-clause projection + solution modifiers over the solved frame:
     aggregation (GROUP BY / implicit single group), HAVING, projected
@@ -1722,17 +1815,20 @@ def _project(bound: DataFrame, query: Query) -> DataFrame:
                 raise ValueError(
                     "SPARQL: projected expression uses non-GROUP-BY variable"
                 )
+        having, hav_aggs = _rewrite_having(query.having)
         missing = [v for v in gb if v not in bound.columns]
         missing += [
-            v for a in aggs for v in a.vars if v not in bound.columns
+            v for a in list(aggs) + hav_aggs
+            for v in a.vars if v not in bound.columns
         ]
         if missing:
             raise ValueError(
                 "SPARQL: GROUP BY/aggregate references unbound variable(s): "
                 + ", ".join("?" + v for v in sorted(set(missing)))
             )
-        out = bound.groupBy(*[F.col(v) for v in gb]).agg(*[a.column() for a in aggs])
-        out = _apply_filters(out, query.having)
+        out = bound.groupBy(*[F.col(v) for v in gb]).agg(
+            *[a.column() for a in list(aggs) + hav_aggs])
+        out = _apply_filters(out, having)
         cols = []
         for it in items:
             if it[0] == "var":

@@ -714,8 +714,11 @@ def _project_aggregated(bound: NFrame, query: Query) -> NFrame:
             raise ValueError(
                 "SPARQL: projected expression uses non-GROUP-BY variable"
             )
+    # direct aggregate calls in HAVING: same rewrite as the engine
+    having, hav_aggs = sparql._rewrite_having(query.having)
     missing = [v for v in gb if v not in bound.cols]
-    missing += [v for a in aggs for v in a.vars if v not in bound.cols]
+    missing += [v for a in list(aggs) + hav_aggs
+                for v in a.vars if v not in bound.cols]
     if missing:
         raise ValueError(
             "SPARQL: GROUP BY/aggregate references unbound variable(s): "
@@ -729,11 +732,12 @@ def _project_aggregated(bound: NFrame, query: Query) -> NFrame:
     out_rows = []
     for key, rows in groups.items():
         row = dict(zip(gb, key))
-        for a in aggs:
+        for a in list(aggs) + hav_aggs:
             row[a.alias] = _agg_eval(a, rows)
         out_rows.append(row)
-    frame = NFrame(list(gb) + [a.alias for a in aggs], out_rows)
-    frame = n_apply_filters(frame, query.having)
+    frame = NFrame(list(gb) + [a.alias for a in list(aggs) + hav_aggs],
+                   out_rows)
+    frame = n_apply_filters(frame, having)
     cols = []
     for it in items:
         if it[0] == "var":

@@ -334,6 +334,16 @@ AGG_TEMPLATES = [
     "SAMPLE(?{v})",
     'GROUP_CONCAT(?{v}; SEPARATOR="|")',
     "GROUP_CONCAT(DISTINCT ?{v})",
+    # builtin-fn aggregate args: numeric fns under SUM/AVG (both sides
+    # numeric), string fns under MIN/MAX/COUNT/GROUP_CONCAT (both sides
+    # compare/collect canonical strings)
+    "SUM(STRLEN(?{v}))",
+    "AVG(STRLEN(?{v}))",
+    "COUNT(SUBSTR(?{v}, 2))",
+    "MAX(UCASE(?{v}))",
+    "MIN(LCASE(?{v}))",
+    'GROUP_CONCAT(SUBSTR(?{v}, 1, 2); SEPARATOR="-")',
+    'SUM(IF(isIRI(?{v}), 1, 0))',
 ]
 
 
@@ -358,16 +368,23 @@ def _mk_agg_query(rng: random.Random) -> str:
     avars = [v for v in VARS[:4] if v != gvar]
     sel = [f"?{gvar}"]
     want_having = rng.random() < 0.35
+    having_direct = want_having and rng.random() < 0.5
     n_aggs = rng.randint(1, 2)
     for i in range(n_aggs):
-        if i == 0 and want_having:
+        if i == 0 and want_having and not having_direct:
             tpl = "COUNT(*)"  # HAVING references the alias, numerically
         else:
             tpl = rng.choice(AGG_TEMPLATES)
         sel.append(f"({tpl.format(v=rng.choice(avars))} AS ?agg{i})")
     having = ""
     if want_having:
-        having = f" HAVING(?agg0 {rng.choice(['>', '>='])} {rng.randint(1, 2)})"
+        if having_direct:  # direct aggregate call (spec form)
+            lhs = rng.choice(
+                ["COUNT(*)", f"COUNT(?{rng.choice(avars)})",
+                 f"SUM(STRLEN(?{rng.choice(avars)}))"])
+        else:  # projection-alias reference
+            lhs = "?agg0"
+        having = f" HAVING({lhs} {rng.choice(['>', '>='])} {rng.randint(1, 2)})"
     tail = ""
     if rng.random() < 0.4:
         # group keys are distinct after GROUP BY, so ORDER BY ?gvar alone

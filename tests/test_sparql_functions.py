@@ -235,6 +235,68 @@ def test_function_arg_unbound_var_raises(words):
                                    'BIND(UCASE(?nope) AS ?x) }')
 
 
+# --------------------------------------- HAVING aggregates, trailing VALUES
+
+
+@pytest.fixture()
+def groups(spark):
+    return _t(spark, [
+        (EX + "m1", EX + "group", "a"), (EX + "m2", EX + "group", "a"),
+        (EX + "m3", EX + "group", "b"),
+        (EX + "m1", EX + "score", "5"), (EX + "m2", EX + "score", "7"),
+        (EX + "m3", EX + "score", "9"),
+    ])
+
+
+def test_having_direct_aggregate_call(groups):
+    # the spec form — no projected aggregate needed
+    q = ('SELECT ?g WHERE { ?m ex:group ?g } GROUP BY ?g '
+         'HAVING(COUNT(*) > 1)')
+    assert _run(groups, q) == [("a",)]
+
+
+def test_having_direct_aggregate_over_other_var(groups):
+    q = ('SELECT ?g (COUNT(*) AS ?n) WHERE { ?m ex:group ?g . '
+         '?m ex:score ?s } GROUP BY ?g HAVING(SUM(?s) > 10)')
+    assert _run(groups, q) == [("a", 2)]
+
+
+def test_having_two_aggregate_calls_conjunction(groups):
+    q = ('SELECT ?g WHERE { ?m ex:group ?g } GROUP BY ?g '
+         'HAVING(COUNT(*) > 1 && COUNT(*) < 3)')
+    assert _run(groups, q) == [("a",)]
+
+
+def test_having_string_aggregate_comparison(groups):
+    # MAX over the string store compares lexicographically
+    q = ('SELECT ?g WHERE { ?m ex:group ?g } GROUP BY ?g '
+         'HAVING(MAX(?m) > ex:m2)')
+    assert _run(groups, q) == [("b",)]
+
+
+def test_aggregate_outside_having_or_projection_rejected(groups):
+    with pytest.raises(ValueError, match="only valid in SELECT"):
+        sparql.evaluate(groups, P + 'SELECT ?m WHERE { ?m ex:group ?g . '
+                                    'BIND(COUNT(?g) AS ?x) }')
+
+
+def test_trailing_values_clause(groups):
+    q = 'SELECT ?m WHERE { ?m ex:group ?g } VALUES ?g { "a" }'
+    assert _run(groups, q) == [(EX + "m1",), (EX + "m2",)]
+
+
+def test_trailing_values_multi_var_undef(groups):
+    q = ('SELECT ?m ?s WHERE { ?m ex:group ?g . ?m ex:score ?s } '
+         'VALUES (?g ?s) { ("a" "5") ("b" UNDEF) }')
+    assert _run(groups, q) == [(EX + "m1", "5"), (EX + "m3", "9")]
+
+
+def test_trailing_values_with_modifiers(groups):
+    q = ('SELECT ?m WHERE { ?m ex:group ?g } ORDER BY ?m LIMIT 1 '
+         'VALUES ?g { "a" }')
+    assert _run(groups, q) == [(EX + "m1",)]
+
+
 def test_prefixed_name_is_not_a_function_call(spark):
     # ex:substr used as a predicate must stay a prefixed name even though
     # its local part collides with a builtin
