@@ -1727,6 +1727,51 @@ cand AS (
 """
 
 
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs -> connected-component clusters -> one kept
+    representative per cluster (the per-document keep/drop decision a
+    training corpus needs; pair similarity is not transitive, so a ~ b ~ c
+    must collapse to one document even when (a, c) missed the threshold)."""
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, k=_MINHASH_K, rows_per_band=2, threshold=0.2
+    )
+    return dedup.dedup_clusters(docs, pairs)
+
+
+# DuckDB oracle: the full LSH pair SQL as a derived table, then a recursive
+# transitive closure over the (undirected) pair graph; each doc's cluster is
+# the min doc_id it can reach (its own id for singletons).
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  {SQL_DEDUP_MINHASH_LSH.replace("SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2",
+                                  "SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2")}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS cluster
+  FROM reach GROUP BY node
+),
+alldocs AS (SELECT DISTINCT cast(doc_id AS varchar) AS doc_id FROM documents)
+SELECT d.doc_id,
+       coalesce(c.cluster, d.doc_id) AS cluster,
+       CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS keep_flag
+FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 _SIMHASH_BITS = 8
 
 
@@ -2462,6 +2507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_analytics": q_sparql_analytics,
         "events_user_stats": q_events_user_stats,
         "tpch_q5": q_tpch_q5,
+        # r4: cluster-collapse dedup (pairs -> CC -> keep one per cluster);
+        # outside the ~50-entry window like the two keys above — swept
+        # locally + in the sf1 gate.
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2555,4 +2604,5 @@ def oracle_sql() -> dict[str, str]:
         "events_user_stats": SQL_EVENTS_USER_STATS,
         "ann_ivf_topk": SQL_ANN_COSINE_TOPK,  # nprobe == n_cells ≡ exact
         "sparql_analytics": SQL_SPARQL_ANALYTICS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
     }

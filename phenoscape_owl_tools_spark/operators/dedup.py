@@ -442,3 +442,48 @@ def embedding_near_dups_gemm(
                 )
 
     return tiled.mapInPandas(score, GEMM_PAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# cluster collapse: pairs -> connected components -> one representative
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    documents: DataFrame, pairs: DataFrame,
+    a: str = "doc_a", b: str = "doc_b", doc_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse verified near-duplicate PAIRS into clusters and pick one
+    representative per cluster — the step that turns pairwise dedup output
+    (X2/X3/X5) into a per-document keep/drop decision for a training
+    corpus. Near-dup similarity is not transitive, so pair output alone
+    over-keeps: a ~ b ~ c must collapse to ONE kept document even when
+    (a, c) itself fell below the threshold.
+
+    Returns ``(doc_id, cluster, keep_flag)``: ``cluster`` = min doc_id of
+    the connected component under the pair graph (documents in no pair are
+    their own singleton cluster), ``keep_flag`` = 1 on the representative.
+    ``documents.where(keep_flag = 1)`` is the deduplicated corpus.
+
+    Scale shape (100 TB): the CC fixpoint (pointer doubling,
+    ``operators/components.py``) runs over the PAIR graph only — near-dup
+    pairs are a tiny fraction of corpus size — and the corpus-wide labeling
+    is ONE broadcast left join of the component table against documents
+    (no shuffle of the corpus side).
+    """
+    from phenoscape_owl_tools_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, a=a, b=b).withColumnRenamed(
+        "node", "doc_id")
+    docs = documents.select(
+        F.col(doc_col).cast("string").alias("doc_id")).dropDuplicates()
+    labeled = docs.join(F.broadcast(comp), "doc_id", "left")
+    return labeled.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+    ).withColumn(
+        "keep_flag",
+        F.when(F.col("doc_id") == F.col("cluster"), F.lit(1)).otherwise(
+            F.lit(0)).cast("int"),
+    )

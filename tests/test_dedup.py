@@ -136,3 +136,34 @@ def test_embedding_gemm_matches_brute(spark):
         for r in dedup.embedding_near_dups_gemm(emb, threshold=0.4, n_blocks=5).collect()
     )
     assert gemm == brute and len(brute) > 0
+
+
+def test_dedup_clusters_collapses_transitive_chain(spark):
+    """a~b and b~c (no a~c pair) must collapse to ONE kept doc; pairless
+    docs are singleton clusters that keep themselves."""
+    docs = spark.createDataFrame(
+        [(i,) for i in ["a", "b", "c", "d", "x", "y"]], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {
+        r.doc_id: (r.cluster, r.keep_flag)
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        "a": ("a", 1), "b": ("a", 0), "c": ("a", 0),
+        "d": ("d", 1), "x": ("x", 1), "y": ("x", 0),
+    }
+
+
+def test_dedup_clusters_corpus_join_is_broadcast(spark):
+    """The corpus-side labeling join must broadcast the component table —
+    at 100 TB the corpus must not shuffle to learn its cluster labels."""
+    docs = spark.createDataFrame([(str(i),) for i in range(50)],
+                                 "doc_id string")
+    pairs = spark.createDataFrame([("1", "2")], "doc_a string, doc_b string")
+    plan = dedup.dedup_clusters(docs, pairs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
