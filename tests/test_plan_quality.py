@@ -287,3 +287,32 @@ def test_sparql_correlated_exists_stays_equi(spark):
     assert "CartesianProduct" not in plan, plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+def test_sparql_builtins_stay_jvm_side_and_push_down(spark, tmp_path):
+    """SPARQL builtin functions (STRSTARTS/STRLEN/UCASE/...) compile to
+    Catalyst column expressions: no Python evaluation node may appear in
+    the plan, and a builtin predicate on a triple-pattern variable must
+    reach the parquet scan as a pushed data-source filter — at 100 TB the
+    scan, not the join, has to drop the non-matching rows."""
+    from phenoscape_owl_tools_spark import sparql as sparql_mod
+
+    EX = "http://example.org/"
+    rows = [(f"{EX}s{i}", EX + ("p" if i % 2 else "q"), f"v{i}")
+            for i in range(64)]
+    path = str(tmp_path / "triples")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    ).write.parquet(path)
+    t = spark.read.parquet(path)
+    q = (f"PREFIX ex: <{EX}>\n"
+         "SELECT ?a ?c WHERE { ?a ex:p ?b . ?b ex:q ?c . "
+         'FILTER(STRSTARTS(?a, "http") && STRLEN(?c) > 1) }')
+    df = sparql_mod.evaluate(t, q)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # STRSTARTS on ?a (bound by the first pattern only) must reach the scan
+    assert any("StringStartsWith" in l for l in plan.splitlines()
+               if "PushedFilters" in l), plan
