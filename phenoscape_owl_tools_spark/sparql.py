@@ -5,7 +5,9 @@ The reference pipeline runs arbitrary SPARQL files against its triple store
 this module covers the language subset its shipped queries actually use
 (src/main/sparql/*.rq):
 
-- ``PREFIX`` declarations, ``SELECT ?v ...`` and ``CONSTRUCT { ... }`` forms,
+- ``PREFIX`` declarations, ``SELECT ?v ...`` and ``CONSTRUCT { ... }``
+  forms (plus the ``CONSTRUCT WHERE { BGP }`` shorthand, spec §10.2.3 —
+  plain triple patterns only),
   plus ``ASK`` (one boolean row, computed from a 1-row probe — the
   solution set never materializes) and ``DESCRIBE <iri>...`` /
   ``DESCRIBE ?v WHERE {...}`` (all triples with the resource as subject
@@ -1302,17 +1304,41 @@ class _Parser:
 
     def _parse_non_select(self, form: str) -> Query:
         if form == "construct":
-            self.expect("{")
-            template = []
-            while self.peek() != "}":
-                s, p, o = self.term(), self.term(), self.term()
-                template.append((s, p, o))
-                if self.peek() == ".":
-                    self.next()
-            self.expect("}")
             if self.peek() and self.peek().lower() == "where":
+                # CONSTRUCT WHERE { BGP } shorthand (spec §10.2.3): the
+                # WHERE patterns double as the template. Only plain triple
+                # patterns qualify — a property path has no triple form.
                 self.next()
-            node = self.group()
+                node = self.group()
+                if (node.filters or node.optionals or node.unions
+                        or node.binds or node.values or node.minuses
+                        or node.exists or node.subqueries):
+                    raise ValueError(
+                        "SPARQL parse: CONSTRUCT WHERE {...} allows only "
+                        "plain triple patterns (spec shorthand)")
+                template = []
+                for pat in node.patterns:
+                    if isinstance(pat.path, PathNode):
+                        if pat.path.op != "iri":
+                            raise ValueError(
+                                "SPARQL parse: CONSTRUCT WHERE {...} cannot "
+                                "contain property paths")
+                        pred = Term("iri", pat.path.iri)
+                    else:
+                        pred = pat.path
+                    template.append((pat.subj, pred, pat.obj))
+            else:
+                self.expect("{")
+                template = []
+                while self.peek() != "}":
+                    s, p, o = self.term(), self.term(), self.term()
+                    template.append((s, p, o))
+                    if self.peek() == ".":
+                        self.next()
+                self.expect("}")
+                if self.peek() and self.peek().lower() == "where":
+                    self.next()
+                node = self.group()
             group_by, having, order_by, limit, offset, tvals = self._modifiers()
             node.values.extend(tvals)
             if group_by or having or order_by or offset is not None:

@@ -303,3 +303,20 @@ def test_prefixed_name_is_not_a_function_call(spark):
     t = _t(spark, [(EX + "n1", EX + "substr", "v")])
     q = P + 'SELECT ?s WHERE { ?s ex:substr ?o }'
     assert [r[0] for r in sparql.evaluate(t, q).collect()] == [EX + "n1"]
+
+
+# --------------------------------------------------- CONSTRUCT WHERE
+
+
+def test_construct_where_shorthand(words):
+    out = sparql.evaluate(words, P + 'CONSTRUCT WHERE { ?s ex:q ?o }')
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (EX + "n1", EX + "q", EX + "n2")]
+
+
+def test_construct_where_rejects_paths_and_groups(words):
+    with pytest.raises(ValueError, match="property paths"):
+        sparql.evaluate(words, P + 'CONSTRUCT WHERE { ?s ex:q* ?o }')
+    with pytest.raises(ValueError, match="plain triple patterns"):
+        sparql.evaluate(
+            words, P + 'CONSTRUCT WHERE { ?s ex:q ?o . FILTER(?o = "x") }')
