@@ -1695,12 +1695,23 @@ cand AS (
 _MINHASH_K = 8
 
 
-def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+def _lsh_pairs(spark, sf_dir) -> DataFrame:
+    """Verified LSH near-dup pairs, memoized: both the pair report
+    (`dedup_minhash_lsh`) and the cluster collapse (`dedup_clusters`)
+    consume the same stage table — the pipeline writes it once."""
     from phenoscape_owl_tools_spark.operators import dedup
 
-    return dedup.minhash_lsh_dedup(
-        _docs(spark, sf_dir), n=3, k=_MINHASH_K, rows_per_band=2, threshold=0.2
+    return _stage(
+        spark, sf_dir, "lsh_pairs",
+        lambda: dedup.minhash_lsh_dedup(
+            _docs(spark, sf_dir), n=3, k=_MINHASH_K, rows_per_band=2,
+            threshold=0.2,
+        ),
     )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    return _lsh_pairs(spark, sf_dir)
 
 
 _mh_aggs = ",\n  ".join(
@@ -1735,10 +1746,7 @@ def q_dedup_clusters(spark, sf_dir) -> DataFrame:
     from phenoscape_owl_tools_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_dedup(
-        docs, n=3, k=_MINHASH_K, rows_per_band=2, threshold=0.2
-    )
-    return dedup.dedup_clusters(docs, pairs)
+    return dedup.dedup_clusters(docs, _lsh_pairs(spark, sf_dir))
 
 
 # DuckDB oracle: the full LSH pair SQL as a derived table, then a recursive

@@ -59,6 +59,7 @@ PIPELINE_OPS = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_lsh_topk",
