@@ -54,7 +54,9 @@ this module covers the language subset its shipped queries actually use
   ``dropDuplicates`` after projection), ``SELECT *``, projected
   expressions ``(expr AS ?alias)``, aggregates ``COUNT(*)``,
   ``COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT([DISTINCT] expr
-  [; SEPARATOR="s"])`` with ``GROUP BY ?v ...`` and ``HAVING(...)``
+  [; SEPARATOR="s"])`` with ``GROUP BY ?v ...`` (conditions may be
+  expressions — ``GROUP BY (UCASE(?g) AS ?k)`` or a bare builtin call —
+  compiled as Extend-then-Group, i.e. an internal BIND) and ``HAVING(...)``
   (one ``groupBy().agg()`` — Catalyst plans the partial aggregate;
   HAVING accepts both projection-alias references and DIRECT aggregate
   calls — ``HAVING(COUNT(*) > 2)`` — computed in the same agg under
@@ -62,7 +64,10 @@ this module covers the language subset its shipped queries actually use
   deviation: the solver is set-based, so aggregates run over DISTINCT
   solutions, not SPARQL's bag semantics,
 - solution modifiers: ``ORDER BY [ASC|DESC](?v)`` (lexicographic over the
-  string-typed store; ``ASC/DESC(xsd:double(?v))`` for numeric order),
+  string-typed store; ``ASC/DESC(xsd:double(?v))`` for numeric order;
+  keys may be scalar expressions over projected vars —
+  ``DESC(STRLEN(?v))`` — with statically-numeric expressions ordering
+  numerically),
   ``LIMIT`` / ``OFFSET``, and the spec's trailing ``VALUES`` clause
   (parameterized queries — joined into the WHERE group's solutions,
   the spec's ``Join(P, ToMultiset(data))`` translation),
@@ -1284,7 +1289,7 @@ class _Parser:
         self.expect("where")
         node = self.group()
         group_by, having, order_by, limit, offset, tvals = self._modifiers(
-            stop_at_brace=sub
+            stop_at_brace=sub, node=node
         )
         node.values.extend(tvals)
         projection = [
@@ -1339,7 +1344,8 @@ class _Parser:
                 if self.peek() and self.peek().lower() == "where":
                     self.next()
                 node = self.group()
-            group_by, having, order_by, limit, offset, tvals = self._modifiers()
+            group_by, having, order_by, limit, offset, tvals = \
+                self._modifiers(node=node)
             node.values.extend(tvals)
             if group_by or having or order_by or offset is not None:
                 raise ValueError(
@@ -1374,7 +1380,7 @@ class _Parser:
                 self.expect("where")
                 node = self.group()
                 group_by, having, order_by, limit, offset, tvals = \
-                    self._modifiers()
+                    self._modifiers(node=node)
                 node.values.extend(tvals)
                 if group_by or having or order_by or offset is not None:
                     raise ValueError(
@@ -1396,12 +1402,18 @@ class _Parser:
             return self._parse_update(form)
         raise ValueError(f"SPARQL parse: unsupported query form {form!r}")
 
-    def _modifiers(self, stop_at_brace: bool = False):
+    def _modifiers(self, stop_at_brace: bool = False, node=None):
         """Trailing solution modifiers: GROUP BY / HAVING / ORDER BY /
         LIMIT / OFFSET (LIMIT and OFFSET accepted in either order), plus
         the spec's trailing VALUES clause (joined into the WHERE group's
         solutions — the spec's Join(P, ToMultiset(data)) translation).
-        ``stop_at_brace`` (subquery mode) returns at the enclosing '}'."""
+        ``stop_at_brace`` (subquery mode) returns at the enclosing '}'.
+
+        GROUP BY conditions may be expressions — ``GROUP BY (expr AS ?v)``
+        or a bare builtin call — compiled as a BIND on ``node`` (the
+        spec's Extend-then-Group translation) grouping on the (possibly
+        synthesized) alias. ORDER BY keys may likewise be scalar
+        expressions; a statically-numeric key orders numerically."""
         group_by: list[str] = []
         having: list[Filter] = []
         order_by: list[tuple[str, bool, bool]] = []
@@ -1415,11 +1427,39 @@ class _Parser:
             if kw == "group":
                 self.next()
                 self.expect("by")
-                while self.peek() is not None and self.peek().startswith("?"):
-                    group_by.append(self.next()[1:])
+                while self.peek() is not None:
+                    tok = self.peek()
+                    if tok.startswith("?"):
+                        group_by.append(self.next()[1:])
+                        continue
+                    is_call = (":" not in tok
+                               and self.i + 1 < len(self.toks)
+                               and self.toks[self.i + 1] == "("
+                               and (tok.lower() in _SCALAR_FNS
+                                    or tok.lower() in ("if", "concat", "str")))
+                    if tok != "(" and not is_call:
+                        break
+                    if node is None:
+                        raise ValueError(
+                            "SPARQL parse: GROUP BY expressions are not "
+                            "supported in this query form")
+                    if tok == "(":
+                        self.next()
+                        e = self._expr()
+                        if self.peek() and self.peek().lower() == "as":
+                            self.next()
+                            var = self._filter_var()
+                        else:
+                            var = f"__grp{len(node.binds)}"
+                        self.expect(")")
+                    else:
+                        e = self._expr()
+                        var = f"__grp{len(node.binds)}"
+                    node.binds.append((e, var))  # Extend, then Group
+                    group_by.append(var)
                 if not group_by:
                     raise ValueError(
-                        "SPARQL parse: GROUP BY supports plain variables only"
+                        "SPARQL parse: empty GROUP BY"
                     )
             elif kw == "having":
                 self.next()
@@ -1434,6 +1474,12 @@ class _Parser:
                 found = False
                 while self.peek() is not None:
                     tok = self.peek().lower()
+                    raw = self.peek()
+                    key_call = (":" not in raw
+                                and self.i + 1 < len(self.toks)
+                                and self.toks[self.i + 1] == "("
+                                and (tok in _SCALAR_FNS
+                                     or tok in ("if", "concat", "str")))
                     if tok in ("asc", "desc"):
                         self.next()
                         desc = tok == "desc"
@@ -1442,8 +1488,12 @@ class _Parser:
                         self.expect(")")
                         order_by.append((var, desc, numeric))
                         found = True
-                    elif self.peek().startswith("?"):
+                    elif raw.startswith("?"):
                         order_by.append((self.next()[1:], False, False))
+                        found = True
+                    elif key_call:  # bare expression key, ascending
+                        e = self._expr()
+                        order_by.append((e, False, _numericish(e)))
                         found = True
                     else:
                         break
@@ -1473,22 +1523,27 @@ class _Parser:
         "http://www.w3.org/2001/XMLSchema#long",
     )
 
-    def _order_key(self) -> tuple[str, bool]:
+    def _order_key(self) -> tuple:
         """Inside ASC(..)/DESC(..): ``?var`` (lexicographic — the store is
-        string-typed) or ``xsd:double(?var)`` etc. for numeric ordering."""
+        string-typed), ``xsd:double(?var)`` etc. for numeric ordering, or
+        a scalar expression (``DESC(STRLEN(?v))`` — statically-numeric
+        expressions order numerically)."""
         tok = self.peek()
         if tok is not None and tok.startswith("?"):
             return self._filter_var(), False
-        iri = self.resolve(self.next())
-        if iri not in self._NUMERIC_CASTS:
-            raise ValueError(
-                f"SPARQL parse: ORDER BY function {iri!r} unsupported "
-                "(xsd numeric casts only)"
-            )
-        self.expect("(")
-        var = self._filter_var()
-        self.expect(")")
-        return var, True
+        if tok is not None and ":" in tok:
+            iri = self.resolve(self.next())
+            if iri not in self._NUMERIC_CASTS:
+                raise ValueError(
+                    f"SPARQL parse: ORDER BY function {iri!r} unsupported "
+                    "(xsd numeric casts only)"
+                )
+            self.expect("(")
+            var = self._filter_var()
+            self.expect(")")
+            return var, True
+        e = self._expr()
+        return e, _numericish(e)
 
     def template_block(self) -> list[tuple[Term, Term, Term]]:
         self.expect("{")
@@ -1893,12 +1948,22 @@ def _project(bound: DataFrame, query: Query) -> DataFrame:
     if query.order_by:
         keys = []
         for var, desc, numeric in query.order_by:
-            if var not in out.columns:
-                raise ValueError(
-                    f"SPARQL: ORDER BY ?{var} must be a projected column "
-                    "(ordering by non-projected variables is unsupported)"
-                )
-            c = F.col(var).try_cast("double") if numeric else F.col(var)
+            if isinstance(var, Expr):
+                missing = [v for v in var.vars if v not in out.columns]
+                if missing:
+                    raise ValueError(
+                        "SPARQL: ORDER BY expression references "
+                        "non-projected variable(s): "
+                        + ", ".join("?" + v for v in missing))
+                c = var.column()
+                c = c.try_cast("double") if numeric else c.cast("string")
+            else:
+                if var not in out.columns:
+                    raise ValueError(
+                        f"SPARQL: ORDER BY ?{var} must be a projected column "
+                        "(ordering by non-projected variables is unsupported)"
+                    )
+                c = F.col(var).try_cast("double") if numeric else F.col(var)
             keys.append(c.desc() if desc else c.asc())
         out = out.orderBy(*keys)
     if query.offset:

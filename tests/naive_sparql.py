@@ -805,20 +805,33 @@ def n_modifiers(frame: NFrame, query: Query) -> NFrame:
     rows = frame.rows
     if query.order_by:
         for var, desc, numeric in reversed(query.order_by):
-            if var not in frame.cols:
-                raise ValueError(
-                    f"SPARQL: ORDER BY ?{var} must be a projected column "
-                    "(ordering by non-projected variables is unsupported)"
-                )
+            if isinstance(var, Expr):
+                missing = [v for v in var.vars if v not in frame.cols]
+                if missing:
+                    raise ValueError(
+                        "SPARQL: ORDER BY expression references "
+                        "non-projected variable(s): "
+                        + ", ".join("?" + v for v in missing))
 
-            def key(r, var=var, numeric=numeric):
-                v = r.get(var)
-                if numeric and v is not None:
-                    try:
-                        v = float(v)
-                    except ValueError:
-                        v = None
-                return (v is not None, v)
+                def key(r, e=var, numeric=numeric):
+                    v = eeval(e, r)
+                    v = _num(v) if numeric else _canon(v)
+                    return (v is not None, v)
+            else:
+                if var not in frame.cols:
+                    raise ValueError(
+                        f"SPARQL: ORDER BY ?{var} must be a projected column "
+                        "(ordering by non-projected variables is unsupported)"
+                    )
+
+                def key(r, var=var, numeric=numeric):
+                    v = r.get(var)
+                    if numeric and v is not None:
+                        try:
+                            v = float(v)
+                        except ValueError:
+                            v = None
+                    return (v is not None, v)
 
             rows = sorted(rows, key=key, reverse=desc)
     if query.offset:

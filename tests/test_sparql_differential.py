@@ -306,6 +306,12 @@ def _mk_mod_query(rng: random.Random) -> str:
         v = rng.choice(bound)
         kw = rng.choice(["ASC", "DESC"])
         keys.append(f"{kw}(xsd:double(?{v}))")
+    if rng.random() < 0.35:  # expression key (numeric or string form)
+        v = rng.choice(bound)
+        keys.append(rng.choice([
+            f"DESC(STRLEN(?{v}))", f"ASC(STRLEN(?{v}))",
+            f"LCASE(?{v})", f'ASC(STRAFTER(?{v}, "n"))',
+        ]))
     for v in rng.sample(bound, len(bound)):  # total-order tail
         r = rng.random()
         if r < 0.4:
@@ -366,7 +372,12 @@ def _mk_agg_query(rng: random.Random) -> str:
         parts.append(f"{{ {a1} }} UNION {{ {a2} }}")
     gvar = rng.choice(bound)
     avars = [v for v in VARS[:4] if v != gvar]
-    sel = [f"?{gvar}"]
+    group_expr = rng.random() < 0.2  # GROUP BY (expr AS ?k)
+    if group_expr:
+        kvar = next(v for v in VARS if v not in bound)
+        sel = [f"?{kvar}"]
+    else:
+        sel = [f"?{gvar}"]
     want_having = rng.random() < 0.35
     having_direct = want_having and rng.random() < 0.5
     n_aggs = rng.randint(1, 2)
@@ -385,20 +396,27 @@ def _mk_agg_query(rng: random.Random) -> str:
         else:  # projection-alias reference
             lhs = "?agg0"
         having = f" HAVING({lhs} {rng.choice(['>', '>='])} {rng.randint(1, 2)})"
+    ovar = kvar if group_expr else gvar
     tail = ""
     if rng.random() < 0.4:
-        # group keys are distinct after GROUP BY, so ORDER BY ?gvar alone
+        # group keys are distinct after GROUP BY, so ORDER BY the key alone
         # is a total order — safe for ordered-list comparison under LIMIT
         kw = rng.choice(["", "ASC", "DESC"])
-        key = f"?{gvar}" if not kw else f"{kw}(?{gvar})"
+        key = f"?{ovar}" if not kw else f"{kw}(?{ovar})"
         tail = f" ORDER BY {key}"
         if rng.random() < 0.6:
             tail += f" LIMIT {rng.randint(1, 5)}"
         if rng.random() < 0.3:
             tail += f" OFFSET {rng.randint(1, 2)}"
+    if group_expr:
+        gexpr = rng.choice([f"UCASE(?{gvar})", f"STRLEN(?{gvar})",
+                            f"SUBSTR(?{gvar}, 1, 2)"])
+        group = f" GROUP BY ({gexpr} AS ?{kvar})"
+    else:
+        group = f" GROUP BY ?{gvar}"
     return (PREFIX + "SELECT " + " ".join(sel)
             + " WHERE { " + " ".join(parts) + " }"
-            + f" GROUP BY ?{gvar}" + having + tail)
+            + group + having + tail)
 
 
 def _norm_val(v):

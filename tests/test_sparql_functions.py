@@ -320,3 +320,31 @@ def test_construct_where_rejects_paths_and_groups(words):
     with pytest.raises(ValueError, match="plain triple patterns"):
         sparql.evaluate(
             words, P + 'CONSTRUCT WHERE { ?s ex:q ?o . FILTER(?o = "x") }')
+
+
+# ------------------------------------ GROUP BY / ORDER BY expressions
+
+
+def test_group_by_expression_with_alias(groups):
+    q = ('SELECT ?k (COUNT(*) AS ?n) WHERE { ?m ex:group ?g } '
+         'GROUP BY (UCASE(?g) AS ?k) ORDER BY ?k')
+    assert _run(groups, q) == [("A", 2), ("B", 1)]
+
+
+def test_group_by_bare_expression(groups):
+    # synthesized grouping var — only the aggregate is projectable
+    q = ('SELECT (COUNT(*) AS ?n) WHERE { ?m ex:score ?s } '
+         'GROUP BY STRLEN(?s)')
+    assert sorted(_run(groups, q)) == [(3,)]  # "5","7","9" all length 1
+
+
+def test_order_by_expression_key(groups):
+    q = ('SELECT ?m ?s WHERE { ?m ex:score ?s } '
+         'ORDER BY DESC(STRLEN(?s)) DESC(?s) LIMIT 1')
+    assert _run(groups, q) == [(EX + "m3", "9")]
+
+
+def test_order_by_expression_unprojected_var_raises(groups):
+    with pytest.raises(ValueError, match="non-projected"):
+        sparql.evaluate(groups, P + 'SELECT ?m WHERE { ?m ex:score ?s } '
+                                    'ORDER BY DESC(STRLEN(?x))')
