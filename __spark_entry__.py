@@ -1780,6 +1780,83 @@ FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """X15 — benchmark n-gram decontamination. The 'benchmark' is the
+    deterministic doc_id % 97 == 0 slice of the corpus (an eval set the
+    oracle can recompute); contaminated = shares >= 1 distinct word 3-gram
+    with it. Benchmark gram set broadcast; corpus never shuffles pre-join."""
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(corpus, bench, n=3, min_overlap=1)
+
+
+SQL_DECONTAMINATE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 2))) AS i FROM d),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM idx
+      WHERE array_to_string(ws[i:i+2], ' ') <> ''),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT cast(doc_id AS varchar) AS doc_id, count(*) AS n_overlap
+FROM g JOIN bench USING (gram)
+WHERE doc_id % 97 <> 0
+GROUP BY 1 HAVING count(*) >= 1
+"""
+
+
+def q_dedup_windows(spark, sf_dir) -> DataFrame:
+    """X16 — cross-document duplicated 8-token windows (substring-dedup
+    report at window grain, Lee et al. 2022)."""
+    from phenoscape_owl_tools_spark.operators import dedup
+
+    return dedup.duplicated_windows(_docs(spark, sf_dir), k=8)
+
+
+SQL_DEDUP_WINDOWS = """
+WITH d AS (SELECT cast(doc_id AS varchar) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 2))) AS i FROM d),
+g AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram FROM idx
+      WHERE array_to_string(ws[i:i+7], ' ') <> ''),
+dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        WHERE nd >= 2),
+sz AS (SELECT doc_id, count(*) AS n_windows FROM g GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_dup_windows FROM g JOIN dup USING (gram) GROUP BY 1)
+SELECT h.doc_id, h.n_dup_windows,
+       round(cast(h.n_dup_windows AS double) / s.n_windows, 6) AS dup_window_frac
+FROM hits h JOIN sz s ON s.doc_id = h.doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir) -> DataFrame:
+    """X17 — Gopher-style within-document repetition metrics (map-only)."""
+    from phenoscape_owl_tools_spark.operators import textstats
+
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_STATS = """
+WITH d AS (SELECT cast(doc_id AS varchar) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         len(list_distinct(ws)) AS nd
+  FROM d
+),
+idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 2))) AS i FROM d),
+g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g FROM idx),
+g2agg AS (SELECT doc_id, count(*) AS n2, count(DISTINCT g) AS nd2 FROM g2 GROUP BY 1),
+wc AS (SELECT doc_id, w, count(*) AS c
+       FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS mx FROM wc GROUP BY 1)
+SELECT b.doc_id,
+       round(cast(b.n - b.nd AS double) / b.n, 6) AS dup_word_frac,
+       round(cast(a.n2 - a.nd2 AS double) / a.n2, 6) AS dup_2gram_frac,
+       round(cast(t.mx AS double) / b.n, 6) AS top_word_frac
+FROM base b JOIN g2agg a ON a.doc_id = b.doc_id JOIN top t ON t.doc_id = b.doc_id
+"""
+
+
 _SIMHASH_BITS = 8
 
 
@@ -2519,6 +2596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outside the ~50-entry window like the two keys above — swept
         # locally + in the sf1 gate.
         "dedup_clusters": q_dedup_clusters,
+        # r4 second pass: training-pipeline additions X15-X17 — outside the
+        # ~50-entry driver window; swept locally (check_correctness.py) and
+        # in the sf1 gate like the three keys above.
+        "decontaminate": q_decontaminate,
+        "dedup_windows": q_dedup_windows,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -2613,4 +2696,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": SQL_ANN_COSINE_TOPK,  # nprobe == n_cells ≡ exact
         "sparql_analytics": SQL_SPARQL_ANALYTICS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "decontaminate": SQL_DECONTAMINATE,
+        "dedup_windows": SQL_DEDUP_WINDOWS,
+        "repetition_stats": SQL_REPETITION_STATS,
     }

@@ -487,3 +487,100 @@ def dedup_clusters(
         F.when(F.col("doc_id") == F.col("cluster"), F.lit(1)).otherwise(
             F.lit(0)).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-corpus decontamination: flag documents sharing >=
+    ``min_overlap`` distinct word ``n``-grams with a benchmark/eval corpus
+    (the GPT-3/PaLM-style n-gram overlap decontamination rule).
+
+    Returns ``(doc_id, n_overlap)`` for contaminated documents only.
+
+    Scale shape (100 TB corpus vs MB-scale benchmark): the benchmark gram
+    set is dimension-sized and explicitly ``broadcast`` — the corpus side
+    streams through a broadcast hash join at scan speed (no corpus shuffle),
+    and only benchmark-colliding grams reach the per-document count (one
+    shuffle over the tiny hit set). Filters stay pushed down: the corpus
+    scan reads (doc_id, text) only.
+    """
+    bench = word_shingles(benchmark, n, text_col).select("shingle").dropDuplicates()
+    corpus = word_shingles(documents, n, text_col)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated windows (exact substring dedup, window grain)
+# ---------------------------------------------------------------------------
+
+def positional_windows(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """All word ``k``-gram windows WITH position: (doc_id, pos, gram).
+    Unlike ``word_shingles`` duplicates are kept — position identity matters
+    for substring-dedup bookkeeping."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).where(F.col("gram") != "")
+
+
+def duplicated_windows(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact substring-duplication report at window grain (the distributed
+    approximation of suffix-array substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): a window is
+    duplicated when the same ``k``-token gram occurs in >= 2 distinct
+    documents. Returns per-document ``(doc_id, n_dup_windows,
+    dup_window_frac)`` for documents with at least one duplicated window —
+    the removal-candidate spans a substring-dedup pass would cut.
+
+    Scale shape: three shuffles, all on uniform keys — (1) dedistinct
+    (gram, doc) then count docs per gram (map-side combinable after the
+    distinct), (2) join the duplicated-gram set back to the positional
+    relation co-partitioned on the gram hash, (3) per-document aggregate.
+    Gram strings are replaced by 64-bit xxhash keys before any shuffle so
+    shuffle width is independent of k; the heavy-hitter gram (boilerplate)
+    skew surface is bounded by AQE skew-join on (2).
+    """
+    pos = positional_windows(documents, k, text_col)
+    keyed = pos.select("doc_id", "pos", F.xxhash64("gram").alias("g"))
+    dup_grams = (
+        keyed.select("doc_id", "g")
+        .dropDuplicates(["doc_id", "g"])
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = keyed.join(dup_grams, "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    sizes = pos.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+            "dup_window_frac"
+        ),
+    )

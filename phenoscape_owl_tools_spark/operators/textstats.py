@@ -96,3 +96,38 @@ def rolling_fingerprint(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array_min(grams).alias("fp"),
     )
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_word_frac, dup_2gram_frac, top_word_frac): Gopher-style
+    within-document repetition metrics (Rae et al. 2021 §A1.1 repetition
+    filters) — fraction of tokens that are repeats beyond first occurrence,
+    same for word 2-grams, and the frequency share of the most common token.
+
+    Map-only: pure array expressions per row, no shuffle — scan-speed at
+    100 TB. ``top_word_frac`` is O(len × distinct) per row (filter-count per
+    distinct token), the right trade for bounded-length documents; for
+    multi-MB documents switch to the explode + groupBy(doc, token) path,
+    which pays one shuffle but is O(len) per row.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    dup_word = (n - F.size(F.array_distinct(toks))) / n
+    grams2 = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    n2 = F.size(grams2)
+    dup_2gram = (n2 - F.size(F.array_distinct(grams2))) / n2
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(dup_2gram, 6).alias("dup_2gram_frac"),
+        F.round(top / n, 6).alias("top_word_frac"),
+    )

@@ -167,3 +167,53 @@ def test_dedup_clusters_corpus_join_is_broadcast(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "x alpha beta gamma y"),      # shares 3-grams "alpha beta gamma"
+            (2, "p q r s t"),                  # no overlap
+            (3, "beta gamma delta q alpha beta gamma"),  # shares 2 distinct grams
+        ],
+    )
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in dedup.decontaminate(corpus, bench, n=3).collect()}
+    assert got == {"1": 1, "3": 2}
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs(spark, [(1, "x alpha beta gamma y"),
+                           (3, "beta gamma delta q alpha beta gamma")])
+    got = [r["doc_id"]
+           for r in dedup.decontaminate(corpus, bench, n=3, min_overlap=2).collect()]
+    assert got == ["3"]
+
+
+def test_duplicated_windows_cross_doc_only(spark):
+    # k=3: docs 1 and 2 share "a b c" (1 window each); doc 3 repeats its own
+    # window INTERNALLY only ("p q r p q r" -> "p q r" twice in one doc) and
+    # must NOT be flagged (cross-document means >= 2 distinct docs).
+    d = _docs(
+        spark,
+        [
+            (1, "a b c x y"),
+            (2, "z a b c w"),
+            (3, "p q r p q r"),
+            (4, "m n o m n"),
+        ],
+    )
+    out = {r["doc_id"]: (r["n_dup_windows"], r["dup_window_frac"])
+           for r in dedup.duplicated_windows(d, k=3).collect()}
+    assert out == {"1": (1, round(1 / 3, 6)), "2": (1, round(1 / 3, 6))}
+
+
+def test_duplicated_windows_counts_positions(spark):
+    # the shared gram occurs at TWO positions in doc 1 -> both count
+    d = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    out = {r["doc_id"]: r["n_dup_windows"]
+           for r in dedup.duplicated_windows(d, k=2).collect()}
+    assert out == {"1": 2, "2": 1}

@@ -316,3 +316,26 @@ def test_sparql_builtins_stay_jvm_side_and_push_down(spark, tmp_path):
     # STRSTARTS on ?a (bound by the first pattern only) must reach the scan
     assert any("StringStartsWith" in l for l in plan.splitlines()
                if "PushedFilters" in l), plan
+
+
+def test_decontaminate_benchmark_join_is_broadcast(spark):
+    # the benchmark gram set is dimension-sized: the corpus side must stream
+    # through a BroadcastHashJoin (no corpus shuffle before the join)
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_stats_is_map_only(spark):
+    # pure column math: no Exchange (shuffle) and no Python in the plan
+    plan = _plan(spark, "repetition_stats")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_dedup_windows_shuffles_on_long_keys(spark):
+    # gram strings are hashed to 64-bit keys before any shuffle: no Exchange
+    # may carry the raw gram string
+    plan = _plan(spark, "dedup_windows")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram" not in line, line

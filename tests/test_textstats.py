@@ -64,3 +64,24 @@ def test_rolling_fingerprint_local_edit_far_from_min_window(spark):
     fps = [r["fp"] for r in textstats.rolling_fingerprint(d).collect()]
     assert fps[0] == fps[1]
     assert len(fps[0]) == 64
+
+
+def test_repetition_stats_hand_case(spark):
+    from pyspark.sql import Row
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b"),       # dup words 2/4; 2grams: aa,aa,ab -> dup 1/3; top a=3/4
+            Row(doc_id=2, text="w x y z"),       # no repetition
+        ]
+    )
+    from phenoscape_owl_tools_spark.operators import textstats
+
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(d).collect()}
+    r1 = out["1"]
+    assert r1["dup_word_frac"] == 0.5
+    assert r1["dup_2gram_frac"] == round(1 / 3, 6)
+    assert r1["top_word_frac"] == 0.75
+    r2 = out["2"]
+    assert (r2["dup_word_frac"], r2["dup_2gram_frac"], r2["top_word_frac"]) == (
+        0.0, 0.0, 0.25)
