@@ -68,6 +68,12 @@ PIPELINE_OPS = [
     "token_stats",
     "fingerprints",
     "media_features",
+    "decontaminate",
+    "dedup_windows",
+    "repetition_stats",
+    "simhash_near_dups",
+    "quota_sample",
+    "unigram_logppl",
 ]
 
 

@@ -584,3 +584,108 @@ def duplicated_windows(
             "dup_window_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup at Hamming distance <= d (Manku et al., WWW 2007)
+# ---------------------------------------------------------------------------
+
+_SIM64_BITS = 64
+_SIM64_NBLOCKS = 4
+_SIM64_BLOCK_BITS = 16
+
+
+def simhash64_blocks(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over the distinct word ``n``-gram shingle set,
+    returned as four 16-bit block integers ``(doc_id, blk0..blk3)``.
+
+    Bit ``p`` is the majority vote of sha256 hex digit ``p``'s high bit
+    across the document's shingle digests (same construction as
+    :func:`simhash`, widened to 64 bits and emitted as integers so Hamming
+    distance is 4 xor+popcounts instead of 64 char compares). One groupBy
+    over the shingle relation; the 65 aggregates are map-side combinable.
+    """
+    sh = word_shingles(documents, n, text_col)
+    h = sh.select("doc_id", F.sha2(F.col("shingle"), 256).alias("hx"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring("hx", p + 1, 1).isin(*"89abcdef"), 1).otherwise(0)
+        ).alias(f"b{p}")
+        for p in range(_SIM64_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_aggs)
+    blocks = []
+    for q in range(_SIM64_NBLOCKS):
+        col = F.lit(0)
+        for j in range(_SIM64_BLOCK_BITS):
+            p = _SIM64_BLOCK_BITS * q + j
+            col = col + F.when(
+                F.col(f"b{p}") * 2 > F.col("n"),
+                F.lit(1 << (_SIM64_BLOCK_BITS - 1 - j)),
+            ).otherwise(F.lit(0))
+        blocks.append(col.cast("long").alias(f"blk{q}"))
+    return agg.select("doc_id", *blocks)
+
+
+def simhash_near_dups(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance <= ``max_hamming``
+    via the block-permutation index of Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling" (WWW 2007) — the classic
+    web-scale simhash algorithm (Google's 8B-page dedup).
+
+    Pigeonhole: 4 blocks of 16 bits; two fingerprints within Hamming
+    distance 3 must agree exactly on >= 1 block, so candidates are pairs
+    sharing any (block_id, block_value) key and the verify step is an exact
+    popcount over the xor of the four blocks. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Scale shape (vs the O(n^2) brute force): fingerprints are ONE groupBy
+    over shingles; candidates come from ONE self-equi-join on uniform
+    16-bit block keys (collision probability 4 * 2^-16 for independent
+    fingerprints — sized for billions of documents); verification is
+    constant work per candidate, no join-back (all four blocks ride through
+    the explode). Boilerplate-heavy block values skew the candidate join —
+    bounded by AQE skew-join, like the n-gram inverted index. Requires
+    ``max_hamming < _SIM64_NBLOCKS`` (pigeonhole soundness).
+    """
+    assert 0 <= max_hamming < _SIM64_NBLOCKS
+    fp = simhash64_blocks(documents, n, text_col)
+    blks = [f"blk{q}" for q in range(_SIM64_NBLOCKS)]
+    block_key = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(q).alias("q"), F.col(b).alias("v"))
+                for q, b in enumerate(blks)
+            ]
+        )
+    ).alias("bk")
+    keyed = fp.select("doc_id", *blks, block_key)
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(b).alias(f"a{q}") for q, b in enumerate(blks)],
+        "bk",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(x).alias(f"b{q}") for q, x in enumerate(blks)],
+        "bk",
+    )
+    hamming = F.lit(0)
+    for q in range(_SIM64_NBLOCKS):
+        hamming = hamming + F.bit_count(
+            F.col(f"a{q}").bitwiseXOR(F.col(f"b{q}"))
+        )
+    return (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

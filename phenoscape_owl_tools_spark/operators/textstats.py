@@ -131,3 +131,47 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(dup_2gram, 6).alias("dup_2gram_frac"),
         F.round(top / n, 6).alias("top_word_frac"),
     )
+
+
+def unigram_logppl(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, bits_per_token): per-document cross-entropy under
+    the corpus's own unigram language model — the shape of the CCNet /
+    Gopher LM-perplexity quality filter (Wenzek et al. 2020 train a 5-gram
+    KenLM; the unigram version is the same pipeline with a model the engine
+    can fit itself). Low bits/token = repetitive or stopword-heavy text;
+    high = rare-token soup. bits_per_token = -mean(log2 p(tok)), with
+    p(tok) = corpus_count(tok) / corpus_total.
+
+    Scale shape: per-document token counts first (one groupBy — collapses
+    repeated tokens before any join), vocabulary = one map-side-combinable
+    aggregate over those counts, then ONE equi-join on token. Stopword-type
+    heavy hitters skew that join's key distribution — bounded by AQE
+    skew-join (and the left side is (doc, tok, c), already collapsed, so a
+    hot token costs one row per *document*, not per occurrence). The corpus
+    total rides along as a broadcast 1-row frame (no driver action, stays
+    lazy/resumable).
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    vocab = per_doc.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("corpus_total"))
+    agg = (
+        per_doc.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log(F.col("cnt"))).alias("slc"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.log(F.col("corpus_total")) - F.col("slc") / F.col("n_tokens"))
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("bits_per_token"),
+    )

@@ -217,3 +217,59 @@ def test_duplicated_windows_counts_positions(spark):
     out = {r["doc_id"]: r["n_dup_windows"]
            for r in dedup.duplicated_windows(d, k=2).collect()}
     assert out == {"1": 2, "2": 1}
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming<=d near-dup (Manku block index)
+# ---------------------------------------------------------------------------
+
+
+def _py_hamming_pairs(fp_rows, d):
+    """Brute-force oracle over collected (doc_id, blk0..blk3) fingerprints."""
+    out = set()
+    for (ia, *a), (ib, *b) in itertools.combinations(sorted(fp_rows), 2):
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        if ham <= d:
+            out.add((ia, ib, ham))
+    return out
+
+
+def test_simhash_near_dups_matches_bruteforce(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away slow"),
+        (3, "a completely different sentence with other words entirely here"),
+        (4, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (5, "table scan merge join window sort hash group filter batch row"),
+    ]
+    d = _docs(spark, texts)
+    fp = [
+        (r["doc_id"], r["blk0"], r["blk1"], r["blk2"], r["blk3"])
+        for r in dedup.simhash64_blocks(d, n=3).collect()
+    ]
+    expect = _py_hamming_pairs(fp, 3)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dups(d, max_hamming=3, n=3).collect()
+    }
+    assert got == expect
+    # identical docs 1/4 must be a hamming-0 pair
+    assert ("1", "4", 0) in got
+
+
+def test_simhash_near_dups_pigeonhole_at_boundary(spark):
+    # fingerprints differing in exactly max_hamming bits still share a block
+    # (pigeonhole) and must be found; brute-force confirms none are missed
+    # on real near-dup data at sf0.001
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    fp = [
+        (r["doc_id"], r["blk0"], r["blk1"], r["blk2"], r["blk3"])
+        for r in dedup.simhash64_blocks(docs, n=3).collect()
+    ]
+    expect = _py_hamming_pairs(fp, 3)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dups(docs, max_hamming=3, n=3).collect()
+    }
+    assert got == expect
+    assert expect, "fixture should contain at least one near-dup pair"

@@ -339,3 +339,29 @@ def test_dedup_windows_shuffles_on_long_keys(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "gram" not in line, line
+
+
+def test_simhash_near_dups_candidates_via_equi_join(spark):
+    # Manku block index: candidates MUST come from an equi-join on block
+    # keys, never a cartesian/nested-loop over fingerprints
+    plan = _plan(spark, "simhash_near_dups")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_quota_sample_offsets_broadcast(spark):
+    # the (group, bucket) offset table is dimension-sized and must broadcast;
+    # the cumulative window partitions on (grp, bucket), never grp alone
+    plan = _plan(spark, "quota_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus-side cumulative window spec must include the bucket key
+    assert re.search(
+        r"windowspecdefinition\(grp#\d+, bucket#\d+, rk#\d+ ASC", plan
+    ), plan
+
+
+def test_unigram_logppl_stays_jvm_side(spark):
+    plan = _plan(spark, "unigram_logppl")
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

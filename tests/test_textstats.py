@@ -85,3 +85,25 @@ def test_repetition_stats_hand_case(spark):
     r2 = out["2"]
     assert (r2["dup_word_frac"], r2["dup_2gram_frac"], r2["top_word_frac"]) == (
         0.0, 0.0, 0.25)
+
+
+def test_unigram_logppl_hand_case(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="b c")]
+    # corpus counts: a=2, b=2, c=1, N=5
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in textstats.unigram_logppl(spark.createDataFrame(rows)).collect()
+    }
+    n = 5.0
+
+    def bits(cnts):
+        return round(
+            -sum(math.log2(c / n) for c in cnts) / len(cnts), 6
+        )
+
+    assert out["1"] == (3, bits([2, 2, 2]))
+    assert out["2"] == (2, bits([2, 1]))
