@@ -108,6 +108,35 @@ def run_incremental_ingest(
     )
 
 
+def dedup_document_stream(
+    documents_stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the batch exact-dedup operator (X1): drop
+    exact-content duplicates on a document stream with BOUNDED state.
+
+    Plain ``dropDuplicates`` on a stream keeps every key forever — state
+    grows with the corpus and the job eventually dies. The contract here is
+    ``dropDuplicatesWithinWatermark``: a duplicate arriving within
+    ``watermark`` of the first copy is dropped, and the key's state is
+    evicted once the event-time watermark passes it — the right semantics
+    for crawl streams, where duplicates cluster in time (recrawls, mirror
+    bursts) and a full-history dedup belongs to the downstream batch
+    compaction (X1) anyway.
+
+    Keys on the same normalized content hash as the batch operator
+    (sha2-256 of lowercased text) so the two stages agree on identity.
+    """
+    keyed = documents_stream.withColumn(
+        "content_hash", F.sha2(F.lower(F.col(text_col)), 256)
+    ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -266,3 +266,40 @@ def test_incremental_nt_closure_stream(spark, tmp_path):
         )
     )
     assert got2 == {tuple(r) for r in scratch.collect()}
+
+
+def test_dedup_document_stream_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving in a LATER
+    micro-batch within the watermark is dropped (state spans batches);
+    distinct content always survives; the key matches batch X1's
+    fingerprint (sha2 of lowercased text)."""
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def doc(i, minutes, text):
+        return Row(doc_id=i, ts=base + dt.timedelta(minutes=minutes), text=text)
+
+    chunk1 = [doc(1, 0, "alpha beta gamma"), doc(2, 5, "delta epsilon")]
+    chunk2 = [doc(3, 30, "ALPHA BETA GAMMA"),  # dup of 1 (case-insensitive)
+              doc(4, 31, "zeta eta theta")]
+    in_dir = tmp_path / "dd_in"
+    spark.createDataFrame(chunk1).coalesce(1).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(chunk2).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(chunk1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        ingest.dedup_document_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dd_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT doc_id FROM dd_docs").collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == [1, 2, 4], got
