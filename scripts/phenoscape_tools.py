@@ -27,6 +27,11 @@ Commands (parquet in / parquet or text out; see each function):
                                  analog of the reference's OWLAPI
                                  multi-format load
                                  (KnowledgeBaseBuilder.scala:56-68)
+    build-corpus                 composed training-corpus pipeline
+                                 (quality/repetition gates, exact +
+                                  LSH-cluster dedup, decontamination,
+                                  token-budget sample) with stage
+                                 manifests + resume (engine extension)
 
 The reference's Blazegraph-specific ``load-triples`` (DataLoader) maps to
 the engine's bucketed-table store (catalog.write_table) — the documented
@@ -229,6 +234,31 @@ def cmd_convert_ontology(args: list[str]) -> None:
     spark.stop()
 
 
+def cmd_build_corpus(args: list[str]) -> None:
+    """build-corpus <documents.parquet> <out-dir> [budget_tokens] [benchmark.parquet]
+
+    Composed training-corpus pipeline (plans/corpus_build.py): quality +
+    repetition gates -> exact dedup -> LSH cluster collapse -> optional
+    decontamination -> optional per-language token-budget sample. Stages
+    persist under <out-dir> with lineage manifests; re-runs resume. The
+    final corpus lands at <out-dir>/corpus; the stage funnel prints."""
+    from phenoscape_owl_tools_spark.plans import corpus_build
+
+    doc_path, out = args[0], args[1]
+    budget = int(args[2]) if len(args) > 2 and args[2] != "-" else None
+    spark = _spark("build-corpus")
+    docs = _read(spark, doc_path)
+    bench = _read(spark, args[3]) if len(args) > 3 else None
+    cfg = corpus_build.CorpusConfig(budget_tokens=budget)
+    res = corpus_build.run(
+        spark, docs, benchmark=bench, out_dir=out, config=cfg
+    )
+    res.corpus.write.mode("overwrite").parquet(str(Path(out) / "corpus"))
+    n = spark.read.parquet(str(Path(out) / "corpus")).count()
+    print(f"build-corpus: funnel {res.funnel()} -> {n} docs at {out}/corpus")
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         print(__doc__)
@@ -261,6 +291,7 @@ def main() -> None:
         "output-evolutionary-profiles": cmd_output_evolutionary_profiles,
         "homology-table-to-owl": cmd_homology_table_to_owl,
         "convert-ontology": cmd_convert_ontology,
+        "build-corpus": cmd_build_corpus,
     }
     fn = dispatch.get(command)
     if fn is None:
