@@ -1682,13 +1682,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
+# Single-pass formulation (mirrors the Spark exact mode): the inverted-index
+# join aggregates intersection counts directly. The earlier cand-DISTINCT +
+# shingle re-join shape exploded at sf1 — ~10^8 candidate pairs x ~74
+# shingles/doc = ~10^10 intermediate rows spilled DuckDB past the disk,
+# while the direct aggregate is just the 1.4x10^8-row co-occurrence
+# relation.
 SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH {SQL_SHINGLES_CTE},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+WITH {SQL_SHINGLES_CTE.rstrip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-{SQL_JACCARD_VERIFY}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT i.doc_a, i.doc_b,
+         round(cast(i.inter AS double) / (sa.n + sb.n - i.inter), 6) AS jaccard
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+) WHERE jaccard >= 0.2
 """
 
 
