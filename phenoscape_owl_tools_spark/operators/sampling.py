@@ -51,6 +51,10 @@ def quota_sample(
     reproducible because the order is a pure function of doc_id.
 
     Returns ``(doc_id, <by>, n_tokens)`` for the sampled documents.
+
+    Contract: rows with a NULL group key are dropped (the offset join is
+    an inner equi-join, and SQL equality never matches NULL) — coalesce
+    the group column upstream if un-grouped documents should participate.
     """
     assert 1 <= bucket_chars <= 4
     t = documents.select(

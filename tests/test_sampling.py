@@ -77,3 +77,11 @@ def test_quota_sample_takes_everything_under_budget(spark):
     rows = [(i, "fr", 3) for i in range(5)]
     got = quota_sample(_mkdocs(spark, rows), budget_tokens=10**6).collect()
     assert len(got) == 5
+
+
+def test_quota_sample_drops_null_group_keys(spark):
+    # documented contract: NULL group keys never match the offset equi-join
+    rows = [Row(doc_id=1, lang="en", text="a b c"),
+            Row(doc_id=2, lang=None, text="d e f")]
+    got = quota_sample(spark.createDataFrame(rows), budget_tokens=100).collect()
+    assert [r["doc_id"] for r in got] == ["1"]
