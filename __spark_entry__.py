@@ -2710,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
         "events_user_stats": q_events_user_stats,
+        "tpch_q6": q_tpch_q6,
     }
 
 
@@ -2810,4 +2811,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
         "quota_sample": SQL_QUOTA_SAMPLE,
         "unigram_logppl": SQL_UNIGRAM_LOGPPL,
+        "tpch_q6": SQL_TPCH_Q6,
     }
