@@ -687,6 +687,139 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_homology_models(spark, sf_dir) -> DataFrame:
+    """The four remaining reference homology models as one kind-discriminated
+    union: simple (HomologyTableToOWL.scala:49-67), annotation-individuals
+    (HomologyTableToOWLAsAnnotations.scala:54-71), rolification
+    (HomologyTableDemoRolification.scala:41-87), and VAHM/AVA
+    (HomologyTableToOWLVAHM.scala:55-97). Same synthesized homology table
+    as `homology_ancestral` (evidence codes on even part keys)."""
+    part = KG.load(spark, sf_dir, "part")
+    hom = part.select(
+        F.concat(F.lit("http://kg.example.org/part/"), F.col("p_partkey").cast("string")).alias("structure1"),
+        F.lit("http://kg.example.org/taxon/1").alias("taxon1"),
+        F.when(F.col("p_partkey") % 3 == 0, "not hom to")
+        .when(F.col("p_partkey") % 3 == 1, "hom to")
+        .otherwise("ser hom to").alias("relation"),
+        F.concat(F.lit("http://kg.example.org/part/"), (F.col("p_partkey") + 1).cast("string")).alias("structure2"),
+        F.lit("http://kg.example.org/taxon/2").alias("taxon2"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("ECO:0000033")).alias("evidence_code"),
+        F.concat(F.lit("PMID:"), F.col("p_partkey").cast("string")).alias("publication"),
+    )
+    frames = [
+        homology_op.homology_axioms_simple(hom).withColumn("kind", F.lit("simple")),
+        homology_op.homology_axioms_annotations(hom).withColumn("kind", F.lit("annotations")),
+        homology_op.homology_axioms_rolification(hom).withColumn("kind", F.lit("rolification")),
+        homology_op.homology_axioms_vahm(hom).withColumn("kind", F.lit("vahm")),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("kind", "subj", "pred", "obj")
+
+
+SQL_HOMOLOGY_MODELS = f"""
+WITH h AS (
+  SELECT 'http://kg.example.org/part/' || cast(p_partkey AS varchar) AS s1,
+         'http://kg.example.org/taxon/1' AS t1,
+         CASE WHEN p_partkey % 3 = 0 THEN 'not hom to'
+              WHEN p_partkey % 3 = 1 THEN 'hom to' ELSE 'ser hom to' END AS rel,
+         'http://kg.example.org/part/' || cast(p_partkey + 1 AS varchar) AS s2,
+         'http://kg.example.org/taxon/2' AS t2,
+         CASE WHEN p_partkey % 2 = 0 THEN 'ECO:0000033' END AS ec,
+         'PMID:' || cast(p_partkey AS varchar) AS pub
+  FROM part
+),
+e AS (
+  SELECT *,
+    '{homology_op.ANNOTATION_PREFIX}'
+      || sha256(s1 || chr(9) || rel || chr(9) || s2 || chr(9) || coalesce(ec, '') || chr(9) || pub) AS ann3,
+    '{homology_op.ANNOTATION_PREFIX}'
+      || sha256(s1 || chr(9) || t1 || chr(9) || rel || chr(9) || s2 || chr(9) || t2 || chr(9) || coalesce(ec, '') || chr(9) || pub) AS ann5,
+    '{vocab.EXPRESSION_PREFIX}' || sha256('ObjectIntersectionOf ' || s1 || ' ObjectSomeValuesFrom {vocab.IN_TAXON} ' || t1) AS e1,
+    '{vocab.EXPRESSION_PREFIX}' || sha256('ObjectIntersectionOf ' || s2 || ' ObjectSomeValuesFrom {vocab.IN_TAXON} ' || t2) AS e2,
+    '{vocab.OBO_PREFIX}' || replace(ec, ':', '_') AS eco,
+    CASE WHEN rel IN ('hom to', 'not hom to') THEN '{homology_op.IN_HISTORICAL_HOMOLOGY}'
+         ELSE '{homology_op.SERIALLY_HOMOLOGOUS_TO}' END AS prop,
+    rel LIKE 'not %' AS neg
+  FROM h
+),
+simple AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT s1 AS subj, '{vocab.HOMOLOGOUS_TO}' AS pred, s2 AS obj FROM e WHERE rel = 'hom to'
+    UNION ALL SELECT s2, '{vocab.HOMOLOGOUS_TO}', s1 FROM e WHERE rel = 'hom to'
+    UNION ALL SELECT ann3 || '#evidence', '{vocab.RDF_TYPE}', eco FROM e WHERE rel = 'hom to' AND ec IS NOT NULL
+    UNION ALL SELECT ann3 || '#evidence', '{homology_op.DC_SOURCE}', pub FROM e WHERE rel = 'hom to' AND ec IS NOT NULL
+  )
+),
+annotations AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT ann3 AS subj, '{vocab.RDF_TYPE}' AS pred,
+           CASE WHEN rel = 'hom to' THEN '{homology_op.HOMOLOGY_ANNOTATION}'
+                ELSE '{homology_op.NEG_HOMOLOGY_ANNOTATION}' END AS obj FROM e
+    UNION ALL SELECT ann3, '{homology_op.ABOUT_STRUCTURE}', s1 FROM e
+    UNION ALL SELECT ann3, '{homology_op.ABOUT_STRUCTURE}', s2 FROM e
+    UNION ALL SELECT ann3, '{vocab.HAS_EVIDENCE}', ann3 || '#evidence' FROM e WHERE ec IS NOT NULL
+    UNION ALL SELECT ann3 || '#evidence', '{vocab.RDF_TYPE}', eco FROM e WHERE ec IS NOT NULL
+    UNION ALL SELECT ann3 || '#evidence', '{homology_op.DC_SOURCE}', pub FROM e WHERE ec IS NOT NULL
+  )
+),
+rolification AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT e1 AS subj, '{vocab.RDFS_SUBCLASS_OF}' AS pred, s1 AS obj FROM e WHERE NOT neg
+    UNION ALL SELECT e1, '{vocab.IN_TAXON}', t1 FROM e WHERE NOT neg
+    UNION ALL SELECT e2, '{vocab.RDFS_SUBCLASS_OF}', s2 FROM e WHERE NOT neg
+    UNION ALL SELECT e2, '{vocab.IN_TAXON}', t2 FROM e WHERE NOT neg
+    UNION ALL SELECT e1, '{vocab.RDFS_SUBCLASS_OF}', ann5 || '#self1' FROM e WHERE NOT neg
+    UNION ALL SELECT ann5 || '#self1', '{homology_op.OWL_HAS_SELF}', ann5 || '#role1' FROM e WHERE NOT neg
+    UNION ALL SELECT e2, '{vocab.RDFS_SUBCLASS_OF}', ann5 || '#self2' FROM e WHERE NOT neg
+    UNION ALL SELECT ann5 || '#self2', '{homology_op.OWL_HAS_SELF}', ann5 || '#role2' FROM e WHERE NOT neg
+    UNION ALL SELECT prop, '{homology_op.OWL_PROPERTY_CHAIN}', ann5 || '#chain' FROM e WHERE NOT neg
+    UNION ALL SELECT ann5 || '#chain', '{homology_op.RDF_N}1', ann5 || '#role1' FROM e WHERE NOT neg
+    UNION ALL SELECT ann5 || '#chain', '{homology_op.RDF_N}2', '{homology_op.TOP_OBJECT_PROPERTY}' FROM e WHERE NOT neg
+    UNION ALL SELECT ann5 || '#chain', '{homology_op.RDF_N}3', ann5 || '#role2' FROM e WHERE NOT neg
+    UNION ALL SELECT ann5 || '#evidence', '{vocab.RDF_TYPE}', eco FROM e WHERE ec IS NOT NULL
+    UNION ALL SELECT ann5 || '#evidence', '{homology_op.DC_SOURCE}', pub FROM e WHERE ec IS NOT NULL
+    UNION ALL SELECT ann5, '{vocab.HAS_EVIDENCE}', ann5 || '#evidence' FROM e WHERE ec IS NOT NULL AND NOT neg
+  )
+),
+v AS (
+  SELECT *,
+    CASE WHEN rel = 'hom to' THEN '{homology_op.HH_MEMBER_OF}' ELSE '{homology_op.SH_MEMBER_OF}' END AS up,
+    CASE WHEN rel = 'hom to' THEN '{homology_op.HAS_HH_MEMBER}' ELSE '{homology_op.HAS_SH_MEMBER}' END AS down,
+    ann5 || '#ancestor' AS anc
+  FROM e WHERE rel IN ('hom to', 'ser hom to')
+),
+vahm AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT e1 AS subj, up AS pred, anc AS obj FROM v
+    UNION ALL SELECT anc, down, e1 FROM v
+    UNION ALL SELECT e2, up, anc FROM v
+    UNION ALL SELECT anc, down, e2 FROM v
+    UNION ALL SELECT e1, '{vocab.RDFS_SUBCLASS_OF}', s1 FROM v
+    UNION ALL SELECT e1, '{vocab.IN_TAXON}', t1 FROM v
+    UNION ALL SELECT e2, '{vocab.RDFS_SUBCLASS_OF}', s2 FROM v
+    UNION ALL SELECT e2, '{vocab.IN_TAXON}', t2 FROM v
+    UNION ALL SELECT ann5 || '#evidence', '{vocab.RDF_TYPE}', eco FROM v WHERE ec IS NOT NULL
+    UNION ALL SELECT ann5 || '#evidence', '{homology_op.DC_SOURCE}', pub FROM v WHERE ec IS NOT NULL
+    UNION ALL SELECT anc, '{vocab.HAS_EVIDENCE}', ann5 || '#evidence' FROM v WHERE ec IS NOT NULL
+    UNION ALL SELECT '{homology_op.HH_MEMBER_OF}', '{homology_op.OWL_INVERSE_OF}', '{homology_op.HAS_HH_MEMBER}'
+    UNION ALL SELECT '{homology_op.IN_HISTORICAL_HOMOLOGY}', '{homology_op.OWL_PROPERTY_CHAIN}', '{homology_op.IN_HISTORICAL_HOMOLOGY}#chain'
+    UNION ALL SELECT '{homology_op.IN_HISTORICAL_HOMOLOGY}#chain', '{homology_op.RDF_N}1', '{homology_op.HH_MEMBER_OF}'
+    UNION ALL SELECT '{homology_op.IN_HISTORICAL_HOMOLOGY}#chain', '{homology_op.RDF_N}2', '{homology_op.HAS_HH_MEMBER}'
+    UNION ALL SELECT '{homology_op.SH_MEMBER_OF}', '{homology_op.OWL_INVERSE_OF}', '{homology_op.HAS_SH_MEMBER}'
+    UNION ALL SELECT '{homology_op.SERIALLY_HOMOLOGOUS_TO}', '{homology_op.OWL_PROPERTY_CHAIN}', '{homology_op.SERIALLY_HOMOLOGOUS_TO}#chain'
+    UNION ALL SELECT '{homology_op.SERIALLY_HOMOLOGOUS_TO}#chain', '{homology_op.RDF_N}1', '{homology_op.SH_MEMBER_OF}'
+    UNION ALL SELECT '{homology_op.SERIALLY_HOMOLOGOUS_TO}#chain', '{homology_op.RDF_N}2', '{homology_op.HAS_SH_MEMBER}'
+  )
+)
+SELECT 'simple' AS kind, * FROM simple
+UNION ALL SELECT 'annotations', * FROM annotations
+UNION ALL SELECT 'rolification', * FROM rolification
+UNION ALL SELECT 'vahm', * FROM vahm
+"""
+
+
 def q_taxonomy_depths(spark, sf_dir) -> DataFrame:
     nation = KG.load(spark, sf_dir, "nation")
     region = KG.load(spark, sf_dir, "region")
@@ -2711,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_user_stats": q_events_user_stats,
         "tpch_q6": q_tpch_q6,
+        "homology_models": q_homology_models,
     }
 
 
@@ -2812,4 +2946,5 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": SQL_QUOTA_SAMPLE,
         "unigram_logppl": SQL_UNIGRAM_LOGPPL,
         "tpch_q6": SQL_TPCH_Q6,
+        "homology_models": SQL_HOMOLOGY_MODELS,
     }
