@@ -2186,6 +2186,66 @@ FROM a
 """
 
 
+def q_pii_stats(spark, sf_dir) -> DataFrame:
+    """X23 — PII pattern counts + redaction accounting. The synthetic corpus
+    contains no PII, so deterministic PII tokens are injected per doc_id
+    first (a vacuous all-zeros oracle row could never fail — the tpch_q5
+    lesson); the operator then runs over the augmented text."""
+    from phenoscape_owl_tools_spark.operators import textstats
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com now"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                            F.lit("."), ((did * 7) % 256).cast("string"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" call 555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+                            F.lit("-"), F.lpad(((did * 3) % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+        ),
+    )
+    return textstats.pii_stats(aug)
+
+
+SQL_PII_STATS = """
+WITH aug AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || cast(doc_id AS varchar) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || cast(doc_id % 256 AS varchar) || '.' || cast((doc_id * 7) % 256 AS varchar) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || lpad(cast(doc_id % 1000 AS varchar), 3, '0') || '-' || lpad(cast((doc_id * 3) % 10000 AS varchar), 4, '0') ELSE '' END
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+  len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+  len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+  length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g'),
+      '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PII]', 'g'),
+      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g')) AS redacted_len,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+    + len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+    + len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+    + len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS pii_total
+FROM aug
+"""
+
+
 _SIMHASH_BITS = 8
 
 
@@ -2941,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "tsv_gene_annotations": q_tsv_gene_annotations,
+        "pii_stats": q_pii_stats,
     }
 
 
@@ -3046,4 +3107,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ntriples_roundtrip": SQL_NTRIPLES_ROUNDTRIP,
         "tsv_gene_annotations": SQL_TSV_GENE_ANNOTATIONS,
+        "pii_stats": SQL_PII_STATS,
     }

@@ -107,3 +107,28 @@ def test_unigram_logppl_hand_case(spark):
 
     assert out["1"] == (3, bits([2, 2, 2]))
     assert out["2"] == (2, bits([2, 1]))
+
+
+def test_pii_stats_hand_case(spark):
+    d = _docs(spark, [
+        (1, "mail me at bob.smith+x@sub.example.org or 192.168.1.1"),
+        (2, "call 555-867-5309 ssn 123-45-6789"),
+        (3, "clean text with no pii at all"),
+        (4, "two mails a@b.io c@d.co and ip 10.0.0.1 10.0.0.2"),
+    ])
+    out = {r["doc_id"]: r for r in textstats.pii_stats(d).collect()}
+    assert (out["1"]["n_email"], out["1"]["n_ipv4"]) == (1, 1)
+    assert (out["2"]["n_phone"], out["2"]["n_ssn"]) == (1, 1)
+    assert out["2"]["pii_total"] == 2
+    assert out["3"]["pii_total"] == 0
+    assert out["3"]["redacted_len"] == len("clean text with no pii at all")
+    assert (out["4"]["n_email"], out["4"]["n_ipv4"]) == (2, 2)
+    # redaction: every match replaced by the 5-char [PII] tag
+    t2 = "call 555-867-5309 ssn 123-45-6789"
+    assert out["2"]["redacted_len"] == len("call [PII] ssn [PII]")
+
+
+def test_pii_stats_map_only_plan(spark):
+    d = _docs(spark, [(1, "a@b.io x")])
+    plan = textstats.pii_stats(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: zero shuffle
