@@ -2938,7 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eq_composition": q_eq_composition,
         "eq_grid_survivors": q_eq_grid_survivors,
         "gene_profiles": q_gene_profiles,
-        "profile_sizes": q_profile_sizes,
+        "homology_models": q_homology_models,
         "evolutionary_profiles": q_evolutionary_profiles,
         "homology_axioms": q_homology,
         "homology_ancestral": q_homology_ancestral,
@@ -2946,8 +2946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_similarity": q_pairwise_similarity_full,
         "sim_top_subsumers": q_sim_top_subsumers,
         "sim_expect_scores": q_sim_expect_scores,
-        "annotation_status": q_annotation_status,
-        "tbox_stats": q_tbox_stats,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
+        "tsv_gene_annotations": q_tsv_gene_annotations,
         "sparql_subclass_closure": q_sparql_subclass_closure,
         "sparql_instance_closure": q_sparql_instance_closure,
         "sparql_scores": q_sparql_scores,
@@ -2957,7 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "media_features": q_media_features,
+        "pii_stats": q_pii_stats,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         # r3 verdict: ann_ivf_topk inside the ~50-entry sampling window (it
@@ -2994,14 +2994,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_user_stats": q_events_user_stats,
         "tpch_q6": q_tpch_q6,
-        "homology_models": q_homology_models,
         # brute-force ANN baseline restored as an oracle-paired key (it was
         # registry-dropped in r2 purely for window space; keys past the
         # driver window are swept by scripts/check_correctness.py)
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ntriples_roundtrip": q_ntriples_roundtrip,
-        "tsv_gene_annotations": q_tsv_gene_annotations,
-        "pii_stats": q_pii_stats,
+        # displaced from the window for the four new-in-r4-close-out
+        # families above (all four displaced keys are r3-driver-green
+        # map-only/simple-agg entries, still swept at both SFs)
+        "profile_sizes": q_profile_sizes,
+        "annotation_status": q_annotation_status,
+        "tbox_stats": q_tbox_stats,
+        "media_features": q_media_features,
     }
 
 
