@@ -2227,22 +2227,27 @@ WITH aug AS (
                  THEN ' call 555-' || lpad(cast(doc_id % 1000 AS varchar), 3, '0') || '-' || lpad(cast((doc_id * 3) % 10000 AS varchar), 4, '0') ELSE '' END
          AS t
   FROM documents
-)
+),
+-- progressive-redaction counting mirrors the operator exactly: each
+-- pattern is counted on the text AFTER the previous patterns' redaction,
+-- so pii_total == number of [PII] tags
+s1 AS (SELECT doc_id, t AS t0,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g') AS t1
+       FROM aug),
+s2 AS (SELECT *, regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PII]', 'g') AS t3 FROM s2),
+s4 AS (SELECT *, regexp_replace(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g') AS t4 FROM s3)
 SELECT doc_id,
-  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-  len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
-  len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
-  len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
-  length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
-      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g'),
-      '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PII]', 'g'),
-      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g')) AS redacted_len,
-  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-    + len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
-    + len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
-    + len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS pii_total
-FROM aug
+  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+  len(regexp_extract_all(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+  len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+  length(t4) AS redacted_len,
+  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+    + len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+    + len(regexp_extract_all(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+    + len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS pii_total
+FROM s4
 """
 
 

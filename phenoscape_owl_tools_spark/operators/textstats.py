@@ -195,24 +195,28 @@ def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     pass every public corpus pipeline runs (C4 and The Pile both strip
     pattern-matched PII before training).
 
+    Each count is taken on the text AFTER the previous patterns' redaction
+    (email first, then IPv4, phone, SSN), so a span nested inside an
+    earlier match (an IPv4 inside an email domain) is counted zero times
+    and ``pii_total`` equals the exact number of ``[PII]`` tags in the
+    redacted text — detection and redaction accounting reconcile by
+    construction. NULL text counts as empty.
+
     Map-only pure column expressions (regexp_extract_all + chained
     regexp_replace), zero shuffle — at 100 TB this runs at scan speed next
     to the other textstats. ``redacted_len`` is the length after every
     match is replaced with the fixed tag ``[PII]``, so downstream token
     budgets can be computed on the post-scrub text without writing it.
     """
-    col = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(f"n_{name}")
-        for name, pat in PII_PATTERNS.items()
-    ]
-    redacted = col
-    for pat in PII_PATTERNS.values():
-        redacted = F.regexp_replace(redacted, pat, "[PII]")
+    stage = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.size(F.regexp_extract_all(stage, F.lit(pat), 0)).alias(f"n_{name}"))
+        stage = F.regexp_replace(stage, pat, "[PII]")
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         *counts,
-        F.length(redacted).alias("redacted_len"),
+        F.length(stage).alias("redacted_len"),
     ).withColumn(
         "pii_total",
         sum(F.col(f"n_{name}") for name in PII_PATTERNS),

@@ -124,8 +124,25 @@ def test_pii_stats_hand_case(spark):
     assert out["3"]["redacted_len"] == len("clean text with no pii at all")
     assert (out["4"]["n_email"], out["4"]["n_ipv4"]) == (2, 2)
     # redaction: every match replaced by the 5-char [PII] tag
-    t2 = "call 555-867-5309 ssn 123-45-6789"
     assert out["2"]["redacted_len"] == len("call [PII] ssn [PII]")
+
+
+def test_pii_stats_nested_span_counts_once(spark):
+    # the IPv4 sits (at word boundaries) inside the email's domain: the
+    # email redaction removes it, so it is counted ZERO times and
+    # pii_total equals the single [PII] tag in the redacted text
+    d = _docs(spark, [(1, "user@mail.192.168.0.1.net wrote")])
+    r = textstats.pii_stats(d).collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["pii_total"]) == (1, 0, 1)
+    assert r["redacted_len"] == len("[PII] wrote")
+
+
+def test_pii_stats_null_text_counts_as_empty(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text=None)],
+                              "doc_id int, text string")
+    r = textstats.pii_stats(d).collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"], r["n_ssn"]) == (0, 0, 0, 0)
+    assert (r["pii_total"], r["redacted_len"]) == (0, 0)
 
 
 def test_pii_stats_map_only_plan(spark):
