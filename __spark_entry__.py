@@ -2186,6 +2186,91 @@ FROM a
 """
 
 
+def q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """X24 — concat-and-chunk sequence packing (GPT/Llama recipe): global
+    deterministic doc order + token prefix sum -> per-doc sequence spans.
+    The two-level prefix sum keeps every sort partition bounded (no global
+    single-task window); the oracle is the single-window form."""
+    from phenoscape_owl_tools_spark.operators import packing
+
+    return packing.pack_sequences(_docs(spark, sf_dir), seq_len=2048)
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT cast(doc_id AS varchar) AS doc_id,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         md5(cast(doc_id AS varchar)) AS rk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         cast(sum(n_tokens) OVER (ORDER BY rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS bigint) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       cast(floor(start_tok / 2048.0) AS bigint) AS seq_first,
+       cast(floor((start_tok + n_tokens - 1) / 2048.0) AS bigint) AS seq_last,
+       cast(start_tok % 2048 AS bigint) AS offset_in_seq
+FROM c
+"""
+
+
+def q_doc_chunks(spark, sf_dir) -> DataFrame:
+    """X25 — overlapping token-window chunking (RAG / long-context split):
+    32-token windows every 24 tokens, content-fingerprinted. Map-only
+    (split/sequence/explode/slice/md5 column expressions, no Python)."""
+    from phenoscape_owl_tools_spark.operators import packing
+
+    return packing.chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT cast(doc_id AS varchar) AS doc_id, string_split(text, ' ') AS toks,
+         cast(len(string_split(text, ' ')) AS bigint) AS n
+  FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, cast(1 + floor((greatest(n - 32, 0) + 23) / 24.0)
+                              AS bigint))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+       cast(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS bigint)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+         AS chunk_hash
+FROM e
+"""
+
+
+def q_mixture_weights(spark, sf_dir) -> DataFrame:
+    """X26 — temperature-scaled source mixture weights (exponentiated
+    smoothing, alpha=0.5): one dimension-scale aggregate + a broadcast
+    scalar normalizer."""
+    from phenoscape_owl_tools_spark.operators import packing
+
+    return packing.mixture_weights(_docs(spark, sf_dir), alpha=0.5, by="source")
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH per AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(cast(len(string_split(text, ' ')) AS bigint)) AS bigint)
+           AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) OVER (), 6)
+         AS weight
+FROM per
+"""
+
+
 def q_pii_stats(spark, sf_dir) -> DataFrame:
     """X23 — PII pattern counts + redaction accounting. The synthetic corpus
     contains no PII, so deterministic PII tokens are injected per doc_id
@@ -2312,6 +2397,50 @@ SELECT * FROM (
          {SQL_DOT.format(a="a.u", b="b.u")} AS cos
   FROM units a JOIN units b ON a.vec_id < b.vec_id
 ) WHERE cos >= 0.4
+"""
+
+
+def q_semantic_dedup(spark, sf_dir) -> DataFrame:
+    """X27 — SemDeDup-style semantic dedup: deterministic fixed centroids
+    (k smallest vec_ids), map-only nearest-centroid assignment (unrolled
+    JVM folds + greatest/when argmax — no n*k shuffle), within-cluster
+    exact tiled-GEMM cosine pairs, sorted-greedy keep rule."""
+    from phenoscape_owl_tools_spark.operators import semdedup
+
+    return semdedup.semantic_dedup(
+        KG.load(spark, sf_dir, "embeddings"), k=8, threshold=0.4
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {SQL_UNITS_CTE},
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, u
+  FROM units ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT units.vec_id, cent.j,
+         {SQL_DOT.format(a="units.u", b="cent.u")} AS cos
+  FROM units CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT vec_id, j, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, j ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN units ua ON ua.vec_id = a.vec_id
+  JOIN units ub ON ub.vec_id = b.vec_id
+  WHERE {SQL_DOT.format(a="ua.u", b="ub.u")} >= 0.4
+)
+SELECT a.vec_id, cast(a.cluster AS int) AS cluster,
+       a.vec_id NOT IN (SELECT id_b FROM pairs) AS kept
+FROM assign a
 """
 
 
@@ -2955,16 +3084,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsv_gene_annotations": q_tsv_gene_annotations,
         "sparql_subclass_closure": q_sparql_subclass_closure,
         "sparql_instance_closure": q_sparql_instance_closure,
-        "sparql_scores": q_sparql_scores,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "pii_stats": q_pii_stats,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         # r3 verdict: ann_ivf_topk inside the ~50-entry sampling window (it
         # was 51st in r3 and never driver-verified).
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2988,7 +3113,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "quota_sample": q_quota_sample,
         "unigram_logppl": q_unigram_logppl,
+        # r4 continuation additions X24-X27 — the training-sequence
+        # assembly + semantic-dedup families, in-window so every NEW
+        # operator family gets a driver-verified row (the r3 IVF lesson).
+        # Displaced to make room: tpch_q1 / tpch_q3 / sparql_scores /
+        # dedup_simhash — all r3-driver-green keys whose engine surface is
+        # covered by in-window siblings (tpch_q5 keeps the TPC-H join
+        # chain, sparql_analytics + the closure twins keep SPARQL,
+        # simhash_near_dups is a strictly stronger simhash key); they stay
+        # oracle-paired below and swept at both SFs.
+        "pack_sequences": q_pack_sequences,
+        "doc_chunks": q_doc_chunks,
+        "mixture_weights": q_mixture_weights,
+        "semantic_dedup": q_semantic_dedup,
         # ---- entries below are outside the driver's ~50-entry window ----
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "sparql_scores": q_sparql_scores,
+        "dedup_simhash": q_dedup_simhash,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -3103,6 +3245,10 @@ def oracle_sql() -> dict[str, str]:
         "events_user_stats": SQL_EVENTS_USER_STATS,
         "ann_ivf_topk": SQL_ANN_COSINE_TOPK,  # nprobe == n_cells ≡ exact
         "sparql_analytics": SQL_SPARQL_ANALYTICS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "mixture_weights": SQL_MIXTURE_WEIGHTS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "decontaminate": SQL_DECONTAMINATE,
         "dedup_windows": SQL_DEDUP_WINDOWS,

@@ -1,0 +1,205 @@
+"""Semantic deduplication (SemDeDup-style): cluster the embedding space,
+then drop near-duplicate documents *within* each cluster.
+
+The scale argument (Abbas et al. 2023, "SemDeDup"): exact cosine
+near-dup over 10^12 embeddings is O(n^2); clustering first restricts the
+quadratic work to within-cluster blocks, an O(n^2 / k) reduction that is
+exact whenever near-duplicates land in the same cluster (by construction
+they do for tight thresholds — near-identical vectors share a nearest
+centroid except at cell boundaries, the documented approximation of every
+clustered-dedup scheme).
+
+Determinism contract (everything here must be reproducible across runs
+and cluster sizes, and expressible in ANSI SQL for the oracle):
+
+- centroids are the unit vectors of the ``k`` smallest ``vec_id`` rows —
+  a fixed, content-derived choice (no RNG, no iterative refinement; the
+  IVF path in ``operators/annsearch.py`` has the deterministic k-means
+  when better centroids are worth a training pass);
+- assignment is argmax of round(cosine, 6) with ties to the smallest
+  cluster index;
+- a document is dropped iff some smaller-id document in the same cluster
+  has cosine >= threshold with it (the sorted-greedy keep rule used by
+  the exact dedup family in ``operators/dedup.py``).
+
+Execution shape:
+
+- assignment is MAP-ONLY: the k centroid unit vectors are collected to
+  the driver (k x dim doubles — dimension-scale, guarded) and unrolled
+  into k JVM fold expressions + a greatest/when argmax chain — no
+  shuffle, no Python, runs at scan speed (same pattern as
+  ``textstats.language_id``'s argmax);
+- within-cluster pairs reuse the exact tiled-GEMM shape of
+  ``dedup.embedding_near_dups_gemm`` with ``(cluster, block)`` as the
+  packing key: B(B+1)/2 tiles per cluster, each scored by one numpy GEMM
+  in ``mapInPandas``; no CartesianProduct in the plan, per-task memory =
+  2 blocks, tiles are independent tasks. Pick ``n_blocks`` so a cluster
+  block fits executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dot_col, unit_vector_col
+
+MAX_CENTROIDS = 4096  # driver-collect guard: centroids are dimension-scale
+
+
+def centroid_units(embeddings: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """The k smallest-vec_id embeddings as (cluster_index, unit_vector).
+
+    Unit vectors are computed JVM-side with the same sequential fold the
+    pairwise path and the SQL oracle use, then collected — the driver
+    never does float math on them.
+    """
+    assert 0 < k <= MAX_CENTROIDS
+    rows = (
+        embeddings.select(
+            "vec_id", unit_vector_col(F.col("embedding")).alias("u")
+        )
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [(i, list(r["u"])) for i, r in enumerate(rows)]
+
+
+def assign_clusters(
+    embeddings: DataFrame, k: int = 8, centroids: list | None = None
+) -> DataFrame:
+    """(vec_id, cluster, u): nearest-centroid assignment, map-only.
+
+    ``cluster`` = argmax_j round(cos(u, c_j), 6), ties to the smallest j.
+    The argmax is a greatest() + reverse when-chain over k unrolled fold
+    expressions — whole-stage codegen, zero shuffle; at 10^12 rows this
+    is the only shape that doesn't turn assignment into an n*k shuffle.
+    """
+    cents = centroids if centroids is not None else centroid_units(embeddings, k)
+    base = embeddings.select(
+        "vec_id", unit_vector_col(F.col("embedding")).alias("u")
+    )
+    cos = {
+        j: F.round(dot_col(F.col("u"), F.lit(cu).cast("array<double>")), 6)
+        for j, cu in cents
+    }
+    best = F.greatest(*cos.values()) if len(cos) > 1 else cos[0]
+    cluster = F.lit(max(cos))
+    for j in sorted(cos, reverse=True):
+        cluster = F.when(cos[j] == best, F.lit(j)).otherwise(cluster)
+    return base.select("vec_id", cluster.cast("int").alias("cluster"), "u")
+
+
+SEM_PAIR_SCHEMA = "cluster int, id_a long, id_b long, cos double"
+
+
+def semantic_near_dups(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """(cluster, id_a, id_b, cos): within-cluster pairs with cosine >=
+    threshold, id_a < id_b, cos in float64 rounded to 6.
+
+    Tiled exactly like ``dedup.embedding_near_dups_gemm`` (see there for
+    why exact tiles beat LSH at near-noise thresholds) but packed by
+    ``(cluster, block)`` so the quadratic work is per-cluster.
+    """
+    return _within_cluster_pairs(assign_clusters(embeddings, k), threshold, n_blocks)
+
+
+def _within_cluster_pairs(
+    assigned: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    spark = assigned.sparkSession
+    packed = (
+        assigned.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks))
+        )
+        .groupBy("cluster", "blk")
+        .agg(F.collect_list(F.struct("vec_id", "u")).alias("vecs"))
+    )
+    tiles = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],
+        "ba int, bb int",
+    )
+    a_side = packed.select(
+        "cluster", F.col("blk").alias("ba"), F.col("vecs").alias("vecs_a")
+    )
+    b_side = packed.select(
+        "cluster", F.col("blk").alias("bb"), F.col("vecs").alias("vecs_b")
+    )
+    tiled = (
+        F.broadcast(tiles)
+        .join(a_side, "ba")
+        .join(b_side, ["cluster", "bb"])
+        .select("cluster", "ba", "bb", "vecs_a", "vecs_b")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([v["vec_id"] for v in row["vecs_a"]], dtype=np.int64)
+                m_a = np.array([v["u"] for v in row["vecs_a"]], dtype=np.float64)
+                if row["ba"] == row["bb"]:
+                    ids_b, m_b = ids_a, m_a
+                else:
+                    ids_b = np.array(
+                        [v["vec_id"] for v in row["vecs_b"]], dtype=np.int64
+                    )
+                    m_b = np.array([v["u"] for v in row["vecs_b"]], dtype=np.float64)
+                sims = np.round(m_a @ m_b.T, 6)
+                hits = sims >= threshold
+                if row["ba"] == row["bb"]:
+                    # diagonal tile: emit the strict upper triangle only —
+                    # (i,j)/(j,i) canonicalize to the same pair (dedup.py
+                    # lesson: compare MULTISETS in tests, sets hide doubles)
+                    hits = np.triu(hits, k=1)
+                ia, ib = np.where(hits)
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                keep = lo < hi
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.full(int(keep.sum()), row["cluster"]),
+                        "id_a": lo[keep],
+                        "id_b": hi[keep],
+                        "cos": sims[ia, ib][keep],
+                    }
+                )
+
+    return tiled.mapInPandas(score, SEM_PAIR_SCHEMA)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """(vec_id, cluster, kept): the SemDeDup keep/drop decision per vector.
+
+    ``kept = false`` iff a smaller-id vector in the same cluster is within
+    the cosine threshold (sorted-greedy rule). One left-anti-shaped flag
+    join against the distinct dropped ids — the pair table is the only
+    quadratic artifact and it never leaves the executors unfiltered.
+    """
+    assigned = assign_clusters(embeddings, k)
+    dropped = (
+        _within_cluster_pairs(assigned, threshold, n_blocks)
+        .select(F.col("id_b").alias("vec_id"))
+        .dropDuplicates()
+        .withColumn("_drop", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )

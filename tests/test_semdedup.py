@@ -1,0 +1,97 @@
+"""semantic_dedup: k=1 degeneration vs the exact brute-force pair oracle,
+assignment determinism, within-cluster restriction, keep-rule consistency,
+and the no-cartesian / map-only-assignment plan contracts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from phenoscape_owl_tools_spark.operators.dedup import embedding_near_dups
+from phenoscape_owl_tools_spark.operators.semdedup import (
+    assign_clusters,
+    semantic_dedup,
+    semantic_near_dups,
+)
+
+
+def _mkemb(spark, n=64, dim=8):
+    # deterministic vectors with planted near-dup pairs: every 8th vector
+    # is a tiny perturbation of its predecessor
+    rows = []
+    for i in range(n):
+        base = i - 1 if i % 8 == 7 else i
+        v = [
+            math.sin(0.7 * base + 1.3 * j) + (0.001 if i != base else 0.0)
+            for j in range(dim)
+        ]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    return spark.createDataFrame(rows)
+
+
+def test_k1_degenerates_to_brute_force_pairs(spark):
+    emb = _mkemb(spark)
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_near_dups(emb, k=1, threshold=0.9).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    assert got == want and len(got) >= 8  # the planted perturbation pairs
+
+
+def test_pairs_are_within_cluster_and_block_width_invariant(spark):
+    emb = _mkemb(spark)
+    assign = {r["vec_id"]: r["cluster"] for r in assign_clusters(emb, k=4).collect()}
+    pairs4 = sorted(
+        (r["cluster"], r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_near_dups(emb, k=4, threshold=0.9, n_blocks=4).collect()
+    )
+    for cl, a, b, _ in pairs4:
+        assert assign[a] == cl and assign[b] == cl and a < b
+    # n_blocks changes only the tiling, never the pairs
+    pairs2 = sorted(
+        (r["cluster"], r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_near_dups(emb, k=4, threshold=0.9, n_blocks=2).collect()
+    )
+    assert pairs4 == pairs2
+
+
+def test_keep_rule_matches_pairs(spark):
+    emb = _mkemb(spark)
+    dropped = {
+        r["id_b"] for r in semantic_near_dups(emb, k=4, threshold=0.9).collect()
+    }
+    decisions = semantic_dedup(emb, k=4, threshold=0.9).collect()
+    assert len(decisions) == 64
+    for r in decisions:
+        assert r["kept"] == (r["vec_id"] not in dropped)
+
+
+def test_assignment_is_map_only_and_pairs_have_no_cartesian(spark):
+    emb = _mkemb(spark)
+    aplan = assign_clusters(emb, k=4)._jdf.queryExecution().executedPlan().toString()
+    # the argmax chain is pure column math over the scan: no shuffle, no Python
+    assert "Exchange" not in aplan
+    assert "BatchEvalPython" not in aplan and "ArrowEvalPython" not in aplan
+    pplan = (
+        semantic_near_dups(emb, k=4, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
+
+
+def test_assignment_ties_break_to_smallest_cluster(spark):
+    # duplicate centroid vectors: vec 0 and vec 1 identical -> every vector
+    # equidistant to clusters 0 and 1 must land in 0
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0]), Row(vec_id=1, embedding=[1.0, 0.0])]
+    rows += [Row(vec_id=i, embedding=[1.0, float(i) / 100]) for i in range(2, 10)]
+    emb = spark.createDataFrame(rows)
+    got = {r["vec_id"]: r["cluster"] for r in assign_clusters(emb, k=2).collect()}
+    assert set(got.values()) == {0}
