@@ -74,6 +74,10 @@ PIPELINE_OPS = [
     "simhash_near_dups",
     "quota_sample",
     "unigram_logppl",
+    "pack_sequences",
+    "doc_chunks",
+    "mixture_weights",
+    "semantic_dedup",
 ]
 
 
