@@ -12,9 +12,11 @@ filters first, so every later shuffle sees a smaller corpus):
       -> exact_groups     X1 exact dedup; keep one per content hash
       -> neardup_pairs    X3 MinHash+LSH verified pairs over survivors
       -> dup_clusters     X14 pair graph -> CC -> one keeper per cluster
+      -> semantic_kept    X27 SemDeDup over doc embeddings (optional)
       -> decontaminated   X15 drop benchmark-overlapping docs (optional)
       -> sampled          X19 per-group token-budget cut (optional)
       -> corpus           final document set
+      -> packed           X24 training-sequence spans (optional)
 
 Stage persistence reuses the KB build's lineage machinery
 (``catalog.write_table``): every materialized stage carries a manifest with
@@ -59,6 +61,9 @@ class CorpusConfig:
     budget_tokens: int | None = None  # per-group cut; None = keep all
     budget_by: str = "lang"
     n_buckets: int = 16
+    sem_k: int = 8  # X27 semantic-dedup clusters (embeddings provided)
+    sem_threshold: float = 0.4  # within-cluster cosine near-dup cut
+    seq_len: int | None = None  # X24 packing; None = skip the packed stage
 
 
 @dataclass
@@ -93,6 +98,7 @@ def run(
     spark: SparkSession,
     documents: DataFrame,
     benchmark: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
     out_dir: str | Path | None = None,
     resume: bool = True,
     config: CorpusConfig | None = None,
@@ -138,7 +144,10 @@ def run(
         else "none",
         f"q>{cfg.min_quality};rep<{cfg.max_dup_word_frac};"
         f"lsh>{cfg.lsh_threshold};dec={cfg.decontam_ngram},"
-        f"{cfg.decontam_min_overlap};bud={cfg.budget_tokens},{cfg.budget_by}",
+        f"{cfg.decontam_min_overlap};bud={cfg.budget_tokens},{cfg.budget_by};"
+        f"sem={cfg.sem_k},{cfg.sem_threshold},"
+        f"{str(catalog.content_checksum(embeddings)) if out_path is not None and embeddings is not None else 'none'};"
+        f"seq={cfg.seq_len}",
     )
 
     docs = documents.withColumn("doc_id", F.col("doc_id").cast("string"))
@@ -186,6 +195,39 @@ def run(
         "left_semi",
     )
 
+    if embeddings is not None:
+        # X27: SemDeDup over the survivors' embeddings (vec_id == doc_id).
+        # Only embeddings of still-kept docs participate: a doc already
+        # dropped by text-level dedup must not suppress its semantic
+        # neighbours. Decision table only — (doc_id, cluster, kept).
+        def _semantic():
+            from phenoscape_owl_tools_spark.operators import semdedup
+
+            surv = embeddings.withColumn(
+                "vec_id_str", F.col("vec_id").cast("string")
+            ).join(
+                deduped.select(F.col("doc_id").alias("vec_id_str")),
+                "vec_id_str",
+                "left_semi",
+            )
+            return semdedup.semantic_dedup(
+                surv.drop("vec_id_str"), k=cfg.sem_k, threshold=cfg.sem_threshold
+            ).select(
+                F.col("vec_id").cast("string").alias("doc_id"),
+                "cluster",
+                "kept",
+            )
+
+        semantic = stage(
+            "semantic_kept",
+            _fingerprint("semantic", in_fp),
+            _semantic,
+            bucket_col="doc_id",
+        )
+        deduped = deduped.join(
+            semantic.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
+        )
+
     if benchmark is not None:
         contaminated = stage(
             "contaminated",
@@ -221,4 +263,19 @@ def run(
     )
     # the ONLY touch of the text column on the output side: one semi-join
     result.corpus = docs.join(kept, "doc_id", "left_semi")
+
+    if cfg.seq_len is not None:
+        # X24: training-sequence assembly over the final corpus. Reads the
+        # text column (token counts) but persists only the per-doc span
+        # decision table — sequence shards can be cut later from any
+        # partition subset because spans are a pure function of content.
+        from phenoscape_owl_tools_spark.operators.packing import pack_sequences
+
+        stage(
+            "packed",
+            _fingerprint("packed", in_fp),
+            lambda: pack_sequences(result.corpus, cfg.seq_len, text_col),
+            bucket_col="doc_id",
+        )
+
     return result

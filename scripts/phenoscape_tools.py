@@ -29,8 +29,9 @@ Commands (parquet in / parquet or text out; see each function):
                                  (KnowledgeBaseBuilder.scala:56-68)
     build-corpus                 composed training-corpus pipeline
                                  (quality/repetition gates, exact +
-                                  LSH-cluster dedup, decontamination,
-                                  token-budget sample) with stage
+                                  LSH-cluster dedup, semantic dedup,
+                                  decontamination, token-budget sample,
+                                  sequence packing) with stage
                                  manifests + resume (engine extension)
 
 The reference's Blazegraph-specific ``load-triples`` (DataLoader) maps to
@@ -235,23 +236,27 @@ def cmd_convert_ontology(args: list[str]) -> None:
 
 
 def cmd_build_corpus(args: list[str]) -> None:
-    """build-corpus <documents.parquet> <out-dir> [budget_tokens] [benchmark.parquet]
+    """build-corpus <documents.parquet> <out-dir> [budget_tokens] [benchmark.parquet] [embeddings.parquet] [seq_len]
 
     Composed training-corpus pipeline (plans/corpus_build.py): quality +
     repetition gates -> exact dedup -> LSH cluster collapse -> optional
-    decontamination -> optional per-language token-budget sample. Stages
-    persist under <out-dir> with lineage manifests; re-runs resume. The
-    final corpus lands at <out-dir>/corpus; the stage funnel prints."""
+    SemDeDup over doc embeddings -> optional decontamination -> optional
+    per-language token-budget sample -> optional sequence packing. Pass
+    '-' to skip an optional positional. Stages persist under <out-dir>
+    with lineage manifests; re-runs resume. The final corpus lands at
+    <out-dir>/corpus; the stage funnel prints."""
     from phenoscape_owl_tools_spark.plans import corpus_build
 
     doc_path, out = args[0], args[1]
     budget = int(args[2]) if len(args) > 2 and args[2] != "-" else None
     spark = _spark("build-corpus")
     docs = _read(spark, doc_path)
-    bench = _read(spark, args[3]) if len(args) > 3 else None
-    cfg = corpus_build.CorpusConfig(budget_tokens=budget)
+    bench = _read(spark, args[3]) if len(args) > 3 and args[3] != "-" else None
+    emb = _read(spark, args[4]) if len(args) > 4 and args[4] != "-" else None
+    seq_len = int(args[5]) if len(args) > 5 and args[5] != "-" else None
+    cfg = corpus_build.CorpusConfig(budget_tokens=budget, seq_len=seq_len)
     res = corpus_build.run(
-        spark, docs, benchmark=bench, out_dir=out, config=cfg
+        spark, docs, benchmark=bench, embeddings=emb, out_dir=out, config=cfg
     )
     res.corpus.write.mode("overwrite").parquet(str(Path(out) / "corpus"))
     n = spark.read.parquet(str(Path(out) / "corpus")).count()

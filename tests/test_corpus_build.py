@@ -97,3 +97,38 @@ def test_pipeline_without_optional_stages(spark):
     assert "sampled" not in res.stages
     got = res.corpus.count()
     assert 0 < got <= docs.count()
+
+
+def test_pipeline_semantic_and_packing_stages(spark, tmp_path):
+    from phenoscape_owl_tools_spark.operators import semdedup
+    from phenoscape_owl_tools_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark)
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    cfg = corpus_build.CorpusConfig(seq_len=512)
+    out = tmp_path / "corpus_sem"
+    res = corpus_build.run(spark, docs, embeddings=emb, out_dir=out, config=cfg)
+    got = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+
+    # restate: text-dedup survivors, then SemDeDup over THEIR embeddings only
+    base = _expected_ids(spark, docs, None, corpus_build.CorpusConfig())
+    surv = emb.where(F.col("vec_id").cast("string").isin(*base))
+    sem = semdedup.semantic_dedup(surv, k=cfg.sem_k, threshold=cfg.sem_threshold)
+    sem_kept = {
+        str(r["vec_id"]) for r in sem.where(F.col("kept")).collect()
+    }
+    assert got == base & sem_kept
+    assert got < base  # the synthetic corpus HAS semantic near-dups
+
+    # the packed stage is a true decision table over exactly the corpus
+    packed = res.stages["packed"]
+    assert {r["doc_id"] for r in packed.select("doc_id").collect()} == got
+    expect_packed = {
+        tuple(r) for r in pack_sequences(res.corpus, 512).collect()
+    }
+    assert {tuple(r) for r in packed.collect()} == expect_packed
+
+    # resume covers the new stages too
+    r2 = corpus_build.run(spark, docs, embeddings=emb, out_dir=out, config=cfg)
+    assert r2.manifests["semantic_kept"].get("resumed")
+    assert r2.manifests["packed"].get("resumed")
