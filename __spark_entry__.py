@@ -2402,9 +2402,9 @@ SELECT * FROM (
 
 def q_semantic_dedup(spark, sf_dir) -> DataFrame:
     """X27 — SemDeDup-style semantic dedup: deterministic fixed centroids
-    (k smallest vec_ids), map-only nearest-centroid assignment (unrolled
-    JVM folds + greatest/when argmax — no n*k shuffle), within-cluster
-    exact tiled-GEMM cosine pairs, sorted-greedy keep rule."""
+    (k smallest vec_ids), map-only Arrow-GEMM nearest-centroid assignment
+    (no n*k shuffle, no per-row Python), within-cluster exact tiled-GEMM
+    cosine pairs, sorted-greedy keep rule."""
     from phenoscape_owl_tools_spark.operators import semdedup
 
     return semdedup.semantic_dedup(

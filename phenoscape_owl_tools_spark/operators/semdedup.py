@@ -25,10 +25,10 @@ and cluster sizes, and expressible in ANSI SQL for the oracle):
 Execution shape:
 
 - assignment is MAP-ONLY: the k centroid unit vectors are collected to
-  the driver (k x dim doubles — dimension-scale, guarded) and unrolled
-  into k JVM fold expressions + a greatest/when argmax chain — no
-  shuffle, no Python, runs at scan speed (same pattern as
-  ``textstats.language_id``'s argmax);
+  the driver (k x dim doubles — dimension-scale, guarded) and scored
+  against each Arrow batch with one numpy GEMM in ``mapInPandas`` — no
+  shuffle, no per-row Python (see :func:`assign_clusters` for why the
+  pure-column-expression alternative is the slow path, not the fast one);
 - within-cluster pairs reuse the exact tiled-GEMM shape of
   ``dedup.embedding_near_dups_gemm`` with ``(cluster, block)`` as the
   packing key: B(B+1)/2 tiles per cluster, each scored by one numpy GEMM
@@ -68,29 +68,57 @@ def centroid_units(embeddings: DataFrame, k: int) -> list[tuple[int, list[float]
     return [(i, list(r["u"])) for i, r in enumerate(rows)]
 
 
+ASSIGN_SCHEMA = "vec_id long, cluster int, u array<double>"
+
+
 def assign_clusters(
     embeddings: DataFrame, k: int = 8, centroids: list | None = None
 ) -> DataFrame:
     """(vec_id, cluster, u): nearest-centroid assignment, map-only.
 
-    ``cluster`` = argmax_j round(cos(u, c_j), 6), ties to the smallest j.
-    The argmax is a greatest() + reverse when-chain over k unrolled fold
-    expressions — whole-stage codegen, zero shuffle; at 10^12 rows this
-    is the only shape that doesn't turn assignment into an n*k shuffle.
+    ``cluster`` = argmax_j round(cos(u, c_j), 6), ties to the smallest j
+    (``np.argmax`` returns the first maximal index). Unit vectors are
+    computed JVM-side (one fold per row); the n x k score matrix comes
+    from ONE numpy GEMM per Arrow batch in ``mapInPandas`` — no shuffle,
+    no per-row Python, nothing grows with k but the GEMM width.
+
+    Measured lesson (BENCH §17): the "pure column math" alternative — k
+    unrolled ``aggregate``/``zip_with`` fold expressions + a
+    greatest/when argmax — is NOT codegen; higher-order functions are
+    interpreted per element, so k=64 centroids cost ~4096 interpreted
+    lambda steps per row and assignment alone ran 9x slower than the
+    whole exact all-pairs GEMM at 100k rows. Same float contract as the
+    IVF assigner (`annsearch.py`): float64 GEMM, round-6, smallest-index
+    ties — driver-oracle-verified against the sequential-fold SQL at
+    both SFs.
     """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     cents = centroids if centroids is not None else centroid_units(embeddings, k)
+    cmat = np.array([cu for _, cu in cents], dtype=np.float64)  # k x dim
     base = embeddings.select(
-        "vec_id", unit_vector_col(F.col("embedding")).alias("u")
+        F.col("vec_id").cast("long").alias("vec_id"),
+        unit_vector_col(F.col("embedding")).alias("u"),
     )
-    cos = {
-        j: F.round(dot_col(F.col("u"), F.lit(cu).cast("array<double>")), 6)
-        for j, cu in cents
-    }
-    best = F.greatest(*cos.values()) if len(cos) > 1 else cos[0]
-    cluster = F.lit(max(cos))
-    for j in sorted(cos, reverse=True):
-        cluster = F.when(cos[j] == best, F.lit(j)).otherwise(cluster)
-    return base.select("vec_id", cluster.cast("int").alias("cluster"), "u")
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["u"]), dtype=np.float64)
+            sims = np.round(mat @ cmat.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": np.argmax(sims, axis=1).astype(np.int32),
+                    "u": pdf["u"],
+                }
+            )
+
+    return base.mapInPandas(assign, ASSIGN_SCHEMA)
 
 
 SEM_PAIR_SCHEMA = "cluster int, id_a long, id_b long, cos double"
