@@ -2199,7 +2199,7 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
 SQL_PACK_SEQUENCES = """
 WITH t AS (
   SELECT cast(doc_id AS varchar) AS doc_id,
-         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         cast(len(string_split(coalesce(text, ''), ' ')) AS bigint) AS n_tokens,
          md5(cast(doc_id AS varchar)) AS rk
   FROM documents
 ),
@@ -2229,8 +2229,8 @@ def q_doc_chunks(spark, sf_dir) -> DataFrame:
 
 SQL_DOC_CHUNKS = """
 WITH t AS (
-  SELECT cast(doc_id AS varchar) AS doc_id, string_split(text, ' ') AS toks,
-         cast(len(string_split(text, ' ')) AS bigint) AS n
+  SELECT cast(doc_id AS varchar) AS doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+         cast(len(string_split(coalesce(text, ''), ' ')) AS bigint) AS n
   FROM documents
 ),
 e AS (
@@ -2260,7 +2260,7 @@ def q_mixture_weights(spark, sf_dir) -> DataFrame:
 SQL_MIXTURE_WEIGHTS = """
 WITH per AS (
   SELECT source, cast(count(*) AS bigint) AS n_docs,
-         cast(sum(cast(len(string_split(text, ' ')) AS bigint)) AS bigint)
+         cast(sum(cast(len(string_split(coalesce(text, ''), ' ')) AS bigint)) AS bigint)
            AS n_tokens
   FROM documents GROUP BY source
 )

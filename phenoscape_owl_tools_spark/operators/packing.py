@@ -34,10 +34,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _text(text_col: str) -> F.Column:
+    """NULL text reads as the empty string (one empty token) so packed
+    streams, chunk fingerprints and mixture sums are total functions of
+    the corpus — mirrored by coalesce(text, '') in every SQL oracle."""
+    return F.coalesce(F.col(text_col), F.lit(""))
+
+
 def _token_count(text_col: str) -> F.Column:
     """Whitespace token count — the corpus-wide convention (see
     sampling.quota_sample / textstats): ``size(split(text, ' '))``."""
-    return F.size(F.split(F.col(text_col), " ")).cast("long")
+    return F.size(F.split(_text(text_col), " ")).cast("long")
 
 
 def pack_sequences(
@@ -126,7 +133,7 @@ def chunk_documents(
     shuffle, no Python.
     """
     assert size > 0 and 0 < stride <= size
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(_text(text_col), " ")
     n = F.size(toks).cast("long")
     extra = F.greatest(n - size, F.lit(0).cast("long"))
     n_chunks = (F.lit(1) + F.floor((extra + stride - 1) / stride)).cast("long")

@@ -44,9 +44,16 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import dot_col, unit_vector_col
+from .dedup import unit_vector_col
 
 MAX_CENTROIDS = 4096  # driver-collect guard: centroids are dimension-scale
+
+
+def _id_type(embeddings: DataFrame) -> str:
+    """The vec_id column's Spark type string — schemas below reuse it so
+    string/long/int document ids all round-trip unchanged (the corpus
+    pipeline joins embeddings to documents on STRING ids)."""
+    return embeddings.schema["vec_id"].dataType.simpleString()
 
 
 def centroid_units(embeddings: DataFrame, k: int) -> list[tuple[int, list[float]]]:
@@ -66,9 +73,6 @@ def centroid_units(embeddings: DataFrame, k: int) -> list[tuple[int, list[float]
         .collect()
     )
     return [(i, list(r["u"])) for i, r in enumerate(rows)]
-
-
-ASSIGN_SCHEMA = "vec_id long, cluster int, u array<double>"
 
 
 def assign_clusters(
@@ -92,16 +96,13 @@ def assign_clusters(
     ties — driver-oracle-verified against the sequential-fold SQL at
     both SFs.
     """
-    from typing import Iterator
-
     import numpy as np
     import pandas as pd
 
     cents = centroids if centroids is not None else centroid_units(embeddings, k)
     cmat = np.array([cu for _, cu in cents], dtype=np.float64)  # k x dim
     base = embeddings.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        unit_vector_col(F.col("embedding")).alias("u"),
+        "vec_id", unit_vector_col(F.col("embedding")).alias("u")
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,10 +119,9 @@ def assign_clusters(
                 }
             )
 
-    return base.mapInPandas(assign, ASSIGN_SCHEMA)
-
-
-SEM_PAIR_SCHEMA = "cluster int, id_a long, id_b long, cos double"
+    return base.mapInPandas(
+        assign, f"vec_id {_id_type(embeddings)}, cluster int, u array<double>"
+    )
 
 
 def semantic_near_dups(
@@ -135,7 +135,12 @@ def semantic_near_dups(
 
     Tiled exactly like ``dedup.embedding_near_dups_gemm`` (see there for
     why exact tiles beat LSH at near-noise thresholds) but packed by
-    ``(cluster, block)`` so the quadratic work is per-cluster.
+    ``(cluster, block)`` so the quadratic work is per-cluster. The
+    machinery is deliberately NOT shared with the X5 implementation: X5
+    normalizes inside numpy from raw embeddings while this path consumes
+    the JVM-fold unit vectors the assignment already computed — merging
+    them would silently change X5's float contract under its oracle. The
+    k=1 degeneration test pins the two paths to identical pairs instead.
     """
     return _within_cluster_pairs(assign_clusters(embeddings, k), threshold, n_blocks)
 
@@ -147,6 +152,7 @@ def _within_cluster_pairs(
     import pandas as pd
 
     spark = assigned.sparkSession
+    id_t = assigned.schema["vec_id"].dataType.simpleString()
     packed = (
         assigned.withColumn(
             "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks))
@@ -174,14 +180,19 @@ def _within_cluster_pairs(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids_a = np.array([v["vec_id"] for v in row["vecs_a"]], dtype=np.int64)
+                # no forced int64: ids keep their Spark type; string ids
+                # must be OBJECT arrays (np.minimum has loops for numeric
+                # and object dtypes, not for '<U' unicode)
+                def _ids(vs):
+                    arr = np.array([v["vec_id"] for v in vs])
+                    return arr.astype(object) if arr.dtype.kind in "US" else arr
+
+                ids_a = _ids(row["vecs_a"])
                 m_a = np.array([v["u"] for v in row["vecs_a"]], dtype=np.float64)
                 if row["ba"] == row["bb"]:
                     ids_b, m_b = ids_a, m_a
                 else:
-                    ids_b = np.array(
-                        [v["vec_id"] for v in row["vecs_b"]], dtype=np.int64
-                    )
+                    ids_b = _ids(row["vecs_b"])
                     m_b = np.array([v["u"] for v in row["vecs_b"]], dtype=np.float64)
                 sims = np.round(m_a @ m_b.T, 6)
                 hits = sims >= threshold
@@ -203,7 +214,9 @@ def _within_cluster_pairs(
                     }
                 )
 
-    return tiled.mapInPandas(score, SEM_PAIR_SCHEMA)
+    return tiled.mapInPandas(
+        score, f"cluster int, id_a {id_t}, id_b {id_t}, cos double"
+    )
 
 
 def semantic_dedup(
@@ -218,8 +231,12 @@ def semantic_dedup(
     the cosine threshold (sorted-greedy rule). One left-anti-shaped flag
     join against the distinct dropped ids — the pair table is the only
     quadratic artifact and it never leaves the executors unfiltered.
+
+    The assignment frame feeds both the pair tiling and the final flag
+    join; it is materialized ONCE (plans have no subtree reuse — without
+    this the scan + unit-fold + GEMM lineage executes twice).
     """
-    assigned = assign_clusters(embeddings, k)
+    assigned = assign_clusters(embeddings, k).localCheckpoint(eager=True)
     dropped = (
         _within_cluster_pairs(assigned, threshold, n_blocks)
         .select(F.col("id_b").alias("vec_id"))

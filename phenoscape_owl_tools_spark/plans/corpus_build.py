@@ -224,8 +224,12 @@ def run(
             _semantic,
             bucket_col="doc_id",
         )
+        # anti-join on the PROVEN duplicates: a document with no embedding
+        # row has no semantic verdict and must survive (SemDeDup can only
+        # prove duplication for vectors it saw — embedding jobs commonly
+        # lag corpus ingestion)
         deduped = deduped.join(
-            semantic.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
+            semantic.where(~F.col("kept")).select("doc_id"), "doc_id", "left_anti"
         )
 
     if benchmark is not None:

@@ -132,3 +132,20 @@ def test_pipeline_semantic_and_packing_stages(spark, tmp_path):
     r2 = corpus_build.run(spark, docs, embeddings=emb, out_dir=out, config=cfg)
     assert r2.manifests["semantic_kept"].get("resumed")
     assert r2.manifests["packed"].get("resumed")
+
+
+def test_semantic_stage_keeps_unembedded_docs(spark):
+    docs = _docs(spark)
+    # embeddings for only half the corpus: un-embedded docs have no
+    # semantic verdict and MUST survive the stage
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").where(
+        F.col("vec_id") % 2 == 0
+    )
+    res = corpus_build.run(spark, docs, embeddings=emb)
+    got = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    base = _expected_ids(spark, docs, None, corpus_build.CorpusConfig())
+    odd_base = {d for d in base if int(d) % 2 == 1}
+    assert odd_base <= got  # nothing un-embedded was dropped
+    sem = res.stages["semantic_kept"]
+    dropped = {r["doc_id"] for r in sem.where(~F.col("kept")).collect()}
+    assert got == base - dropped

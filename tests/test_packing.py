@@ -129,3 +129,16 @@ def test_mixture_weights_normalize_and_temper(spark):
         for r in mixture_weights(docs, alpha=1.0, by="source").collect()
     }
     assert abs(prop["small"] - share) < 1e-6
+
+
+def test_null_text_reads_as_empty(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=None, source="s"), Row(doc_id=1, text="a b c", source="s")]
+    )
+    packs = {r["doc_id"]: r for r in pack_sequences(docs, 8).collect()}
+    assert packs["0"]["n_tokens"] == 1  # split('') -> [''], the engine convention
+    chunks = {r["doc_id"]: r for r in chunk_documents(docs, size=4, stride=2).collect()}
+    assert chunks["0"]["n_chunk_tokens"] == 1
+    assert chunks["0"]["chunk_hash"] == hashlib.md5(b"").hexdigest()
+    mw = mixture_weights(docs, by="source").collect()[0]
+    assert mw["n_tokens"] == 4  # 1 (null->'') + 3

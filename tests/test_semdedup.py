@@ -95,3 +95,19 @@ def test_assignment_ties_break_to_smallest_cluster(spark):
     emb = spark.createDataFrame(rows)
     got = {r["vec_id"]: r["cluster"] for r in assign_clusters(emb, k=2).collect()}
     assert set(got.values()) == {0}
+
+
+def test_string_ids_round_trip(spark):
+    rows = [
+        Row(vec_id=f"doc-{i:03d}", embedding=[math.sin(0.7 * (i - i % 2) + 1.3 * j) for j in range(6)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows)
+    pairs = semantic_near_dups(emb, k=2, threshold=0.999).collect()
+    assert pairs, "even/odd twins must pair"
+    for r in pairs:
+        assert isinstance(r["id_a"], str) and r["id_a"] < r["id_b"]
+    decisions = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, k=2, threshold=0.999).collect()}
+    assert set(decisions) == {f"doc-{i:03d}" for i in range(12)}
+    dropped = {r["id_b"] for r in pairs}
+    assert all(decisions[v] == (v not in dropped) for v in decisions)
