@@ -303,3 +303,54 @@ def test_dedup_document_stream_bounded_state(spark, tmp_path):
     rows = spark.sql("SELECT doc_id FROM dd_docs").collect()
     got = sorted(r["doc_id"] for r in rows)
     assert got == [1, 2, 4], got
+
+
+def test_live_dictionary_updates_apply_to_next_batch(spark, tmp_path):
+    """Stream-static dimension refresh: a dictionary update lands on the
+    following micro-batch; earlier batches' partitions stay as extracted."""
+    flat = KG.load(spark, SF001, "documents")
+    spans = KG.span_documents(flat)
+    full_dict = KG.terms(flat).select(F.col("label").alias("surface"), "iri")
+
+    # v1 drops one surface that demonstrably occurs in the corpus
+    some = (
+        mention_op.detect_mentions(spark, spans, full_dict)
+        .groupBy("term").count().orderBy("count").limit(1).collect()
+    )
+    held_out = some[0]["term"]
+    dict_dir = tmp_path / "dict"
+    v1 = full_dict.where(F.col("iri") != held_out)
+    v1.coalesce(1).write.mode("overwrite").parquet(str(dict_dir))
+
+    chunk1 = spans.where(F.col("doc_id").cast("long") % 2 == 0)
+    chunk2 = spans.where(F.col("doc_id").cast("long") % 2 == 1)
+    in_dir = tmp_path / "docs_in"
+    chunk1.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    ingest.run_incremental_ingest_live_dict(
+        spark, str(in_dir), spans.schema, str(dict_dir), "mentions",
+        str(out), str(ckpt),
+    )
+    got1 = spark.read.parquet(str(out)).select("subj", "pred", "obj").dropDuplicates()
+    assert got1.where(F.col("obj") == held_out).count() == 0  # v1 in force
+
+    # dictionary update + new documents: only the NEW batch sees v2
+    full_dict.coalesce(1).write.mode("overwrite").parquet(str(dict_dir))
+    chunk2.coalesce(1).write.mode("append").parquet(str(in_dir))
+    ingest.run_incremental_ingest_live_dict(
+        spark, str(in_dir), spans.schema, str(dict_dir), "mentions",
+        str(out), str(ckpt),
+    )
+    got2 = spark.read.parquet(str(out)).select("subj", "pred", "obj").dropDuplicates()
+
+    def batch(docs, d):
+        return mention_op.mention_triples(
+            mention_op.detect_mentions(spark, docs, d), "mentions"
+        )
+
+    expect = batch(chunk1, v1).union(batch(chunk2, full_dict)).dropDuplicates()
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, expect.collect()))
+    # the held-out term appears, and only from odd (chunk2) docs
+    held_rows = got2.where(F.col("obj") == held_out).select("subj").collect()
+    assert held_rows and all(int(r["subj"].rsplit("/", 1)[-1]) % 2 == 1 for r in held_rows)
