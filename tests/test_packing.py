@@ -142,3 +142,22 @@ def test_null_text_reads_as_empty(spark):
     assert chunks["0"]["chunk_hash"] == hashlib.md5(b"").hexdigest()
     mw = mixture_weights(docs, by="source").collect()[0]
     assert mw["n_tokens"] == 4  # 1 (null->'') + 3
+
+
+def test_pack_windows_are_bucket_partitioned(spark):
+    """The scale contract: every window ordered by the corpus-wide rk key
+    must be PARTITIONED by bucket (bounded sort groups); the only
+    unpartitioned window is the 256-row offset table (ordered by bucket —
+    Catalyst folds its constant partition key away)."""
+    import re
+
+    plan = pack_sequences(
+        _mkdocs(spark, [10] * 50), seq_len=32
+    )._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected window operators in the packing plan"
+    for s in specs:
+        if "rk#" in s:  # the cumsum over document rows
+            assert s.startswith("windowspecdefinition(bucket#"), s
+        else:  # the offset table: ordered by bucket, dimension-scale
+            assert "bucket#" in s, s
