@@ -111,3 +111,28 @@ def test_string_ids_round_trip(spark):
     assert set(decisions) == {f"doc-{i:03d}" for i in range(12)}
     dropped = {r["id_b"] for r in pairs}
     assert all(decisions[v] == (v not in dropped) for v in decisions)
+
+
+def test_semantic_pairs_compose_with_cluster_collapse(spark):
+    """X27 pairs feed X14's pair-source-agnostic collapse: chains a~b~c
+    inside one cluster keep exactly one representative even when (a, c)
+    itself fell below the threshold."""
+    from pyspark.sql import functions as F
+
+    from phenoscape_owl_tools_spark.operators.dedup import dedup_clusters
+
+    emb = _mkemb(spark)
+    docs = emb.select(F.col("vec_id").cast("string").alias("doc_id"))
+    pairs = semantic_near_dups(emb, k=4, threshold=0.9).select(
+        F.col("id_a").cast("string").alias("doc_a"),
+        F.col("id_b").cast("string").alias("doc_b"),
+    )
+    cl = dedup_clusters(docs, pairs).collect()
+    assert len(cl) == 64
+    by_cluster: dict[str, list] = {}
+    for r in cl:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    # every multi-member cluster keeps exactly one doc: its min id
+    for cluster, members in by_cluster.items():
+        kept = [r["doc_id"] for r in members if r["keep_flag"] == 1]
+        assert kept == [min(r["doc_id"] for r in members)]
