@@ -75,6 +75,27 @@ def centroid_units(embeddings: DataFrame, k: int) -> list[tuple[int, list[float]
     return [(i, list(r["u"])) for i, r in enumerate(rows)]
 
 
+def trained_centroids(
+    embeddings: DataFrame, k: int, n_iters: int = 5
+) -> list[tuple[int, list[float]]]:
+    """Balanced centroids via the IVF deterministic k-means (Lloyd rounds
+    with content-derived init, `annsearch.ivf_fit`).
+
+    The fixed smallest-k-ids centroids are the ORACLE-expressible default,
+    but they inherit whatever the first k vectors happen to be: measured
+    at 100k vectors / k=64 they left one mega-cluster of 4,984 members
+    against a median of 27 (BENCH §19) — the classic SemDeDup failure
+    mode, since within-cluster work is O(size^2). A few Lloyd rounds
+    rebalance the cells; still fully deterministic, so dedup decisions
+    remain reproducible run-to-run — just not restatable in ANSI SQL
+    (train with pytest-verified exactness instead of a DuckDB oracle).
+    """
+    from .annsearch import ivf_fit
+
+    cent = ivf_fit(embeddings, n_cells=k, n_iters=n_iters)
+    return [(j, cent[j].tolist()) for j in range(len(cent))]
+
+
 def assign_clusters(
     embeddings: DataFrame, k: int = 8, centroids: list | None = None
 ) -> DataFrame:
@@ -129,6 +150,7 @@ def semantic_near_dups(
     k: int = 8,
     threshold: float = 0.4,
     n_blocks: int = 8,
+    centroids: list | None = None,
 ) -> DataFrame:
     """(cluster, id_a, id_b, cos): within-cluster pairs with cosine >=
     threshold, id_a < id_b, cos in float64 rounded to 6.
@@ -141,8 +163,14 @@ def semantic_near_dups(
     the JVM-fold unit vectors the assignment already computed — merging
     them would silently change X5's float contract under its oracle. The
     k=1 degeneration test pins the two paths to identical pairs instead.
+
+    Pass ``centroids=trained_centroids(...)`` to swap the fixed smallest-k
+    seed for the k-means codebook when cluster balance matters (see
+    :func:`trained_centroids`).
     """
-    return _within_cluster_pairs(assign_clusters(embeddings, k), threshold, n_blocks)
+    return _within_cluster_pairs(
+        assign_clusters(embeddings, k, centroids), threshold, n_blocks
+    )
 
 
 def _within_cluster_pairs(
@@ -224,6 +252,7 @@ def semantic_dedup(
     k: int = 8,
     threshold: float = 0.4,
     n_blocks: int = 8,
+    centroids: list | None = None,
 ) -> DataFrame:
     """(vec_id, cluster, kept): the SemDeDup keep/drop decision per vector.
 
@@ -236,7 +265,7 @@ def semantic_dedup(
     join; it is materialized ONCE (plans have no subtree reuse — without
     this the scan + unit-fold + GEMM lineage executes twice).
     """
-    assigned = assign_clusters(embeddings, k).localCheckpoint(eager=True)
+    assigned = assign_clusters(embeddings, k, centroids).localCheckpoint(eager=True)
     dropped = (
         _within_cluster_pairs(assigned, threshold, n_blocks)
         .select(F.col("id_b").alias("vec_id"))

@@ -136,3 +136,26 @@ def test_semantic_pairs_compose_with_cluster_collapse(spark):
     for cluster, members in by_cluster.items():
         kept = [r["doc_id"] for r in members if r["keep_flag"] == 1]
         assert kept == [min(r["doc_id"] for r in members)]
+
+
+def test_trained_centroids_balance_and_stay_deterministic(spark):
+    from phenoscape_owl_tools_spark.operators.semdedup import trained_centroids
+
+    emb = _mkemb(spark, n=128)
+    cents = trained_centroids(emb, k=4, n_iters=3)
+    assert [j for j, _ in cents] == [0, 1, 2, 3]
+    # deterministic: refit gives bit-identical centroids
+    again = trained_centroids(emb, k=4, n_iters=3)
+    assert cents == again
+    # the full decision path accepts the trained codebook and stays
+    # internally consistent (pairs within cluster, keep rule holds)
+    pairs = semantic_near_dups(emb, k=4, threshold=0.9, centroids=cents).collect()
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, k=4, centroids=cents).collect()
+    }
+    for r in pairs:
+        assert assign[r["id_a"]] == r["cluster"] == assign[r["id_b"]]
+    dropped = {r["id_b"] for r in pairs}
+    dec = semantic_dedup(emb, k=4, threshold=0.9, centroids=cents).collect()
+    assert all(r["kept"] == (r["vec_id"] not in dropped) for r in dec)
