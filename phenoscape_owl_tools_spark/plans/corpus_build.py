@@ -63,6 +63,7 @@ class CorpusConfig:
     n_buckets: int = 16
     sem_k: int = 8  # X27 semantic-dedup clusters (embeddings provided)
     sem_threshold: float = 0.4  # within-cluster cosine near-dup cut
+    sem_trained: bool = False  # k-means codebook (mega-cluster protection)
     seq_len: int | None = None  # X24 packing; None = skip the packed stage
 
 
@@ -145,7 +146,7 @@ def run(
         f"q>{cfg.min_quality};rep<{cfg.max_dup_word_frac};"
         f"lsh>{cfg.lsh_threshold};dec={cfg.decontam_ngram},"
         f"{cfg.decontam_min_overlap};bud={cfg.budget_tokens},{cfg.budget_by};"
-        f"sem={cfg.sem_k},{cfg.sem_threshold},"
+        f"sem={cfg.sem_k},{cfg.sem_threshold},{cfg.sem_trained},"
         f"{str(catalog.content_checksum(embeddings)) if out_path is not None and embeddings is not None else 'none'};"
         f"seq={cfg.seq_len}",
     )
@@ -210,8 +211,14 @@ def run(
                 "vec_id_str",
                 "left_semi",
             )
+            surv = surv.drop("vec_id_str")
+            cents = (
+                semdedup.trained_centroids(surv, cfg.sem_k)
+                if cfg.sem_trained
+                else None
+            )
             return semdedup.semantic_dedup(
-                surv.drop("vec_id_str"), k=cfg.sem_k, threshold=cfg.sem_threshold
+                surv, k=cfg.sem_k, threshold=cfg.sem_threshold, centroids=cents
             ).select(
                 F.col("vec_id").cast("string").alias("doc_id"),
                 "cluster",

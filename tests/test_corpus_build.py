@@ -149,3 +149,18 @@ def test_semantic_stage_keeps_unembedded_docs(spark):
     sem = res.stages["semantic_kept"]
     dropped = {r["doc_id"] for r in sem.where(~F.col("kept")).collect()}
     assert got == base - dropped
+
+
+def test_semantic_stage_trained_mode(spark):
+    docs = _docs(spark)
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    cfg = corpus_build.CorpusConfig(sem_trained=True)
+    res = corpus_build.run(spark, docs, embeddings=emb, config=cfg)
+    sem = res.stages["semantic_kept"]
+    # decision table covers exactly the text-dedup survivors' embeddings,
+    # keep rule internally consistent under the trained codebook
+    base = _expected_ids(spark, docs, None, corpus_build.CorpusConfig())
+    assert {r["doc_id"] for r in sem.collect()} == base
+    got = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in sem.where(~F.col("kept")).collect()}
+    assert got == base - dropped
