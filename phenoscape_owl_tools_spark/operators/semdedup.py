@@ -92,6 +92,7 @@ def trained_centroids(
     """
     from .annsearch import ivf_fit
 
+    assert 0 < k <= MAX_CENTROIDS  # same driver-collect guard as the fixed path
     cent = ivf_fit(embeddings, n_cells=k, n_iters=n_iters)
     return [(j, cent[j].tolist()) for j in range(len(cent))]
 

@@ -212,11 +212,16 @@ def run(
                 "left_semi",
             )
             surv = surv.drop("vec_id_str")
-            cents = (
-                semdedup.trained_centroids(surv, cfg.sem_k)
-                if cfg.sem_trained
-                else None
-            )
+            cents = None
+            if cfg.sem_trained:
+                # training re-scans the survivors n_iters+1 times (seed
+                # collect + one partial-reduce per Lloyd round): freeze the
+                # join lineage ONCE first. Zero embedded survivors -> fall
+                # back to untrained (ivf_fit refuses an empty frame; the
+                # untrained path yields the same empty decision table).
+                surv = surv.localCheckpoint(eager=True)
+                if not surv.isEmpty():
+                    cents = semdedup.trained_centroids(surv, cfg.sem_k)
             return semdedup.semantic_dedup(
                 surv, k=cfg.sem_k, threshold=cfg.sem_threshold, centroids=cents
             ).select(

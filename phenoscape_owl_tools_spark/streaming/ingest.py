@@ -67,6 +67,61 @@ def streaming_mention_triples(
     )
 
 
+def _drive_extraction_stream(
+    spark: SparkSession,
+    documents_path: str,
+    schema,
+    dict_provider,
+    predicate: str,
+    out_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Shared driver for the incremental extraction sinks.
+
+    ``dict_provider()`` is called once per micro-batch and returns the
+    dictionary broadcast to extract against (pinned or refreshing — the
+    ONLY difference between the two public entry points, so the
+    idempotent-sink contract lives in exactly one place).
+
+    Partition key = order-insensitive checksum of the DOCUMENT batch
+    (doc_id + span content), not of the emitted triples: a re-extraction
+    of the same documents — task retry, checkpoint loss, or a dictionary
+    update between runs — OVERWRITES the same partition instead of
+    leaving a stale sibling, so exactly one extraction per document batch
+    survives and the latest dictionary wins. (Keying by triple content
+    would orphan the old partition whenever a dictionary change alters
+    the output.) An empty TRIPLE set for a non-empty document batch still
+    writes its (empty) partition for the same reason; only empty document
+    batches are skipped.
+
+    The overwrite guarantee is exact when re-ingest groups files into the
+    same batches; run with ``max_files_per_trigger=1`` (batch == one
+    file, grouping deterministic) where checkpoint-loss re-ingest under a
+    CHANGED dictionary must not leave mixed-dictionary partitions.
+    """
+    from phenoscape_owl_tools_spark.catalog import content_checksum
+
+    docs = read_document_stream(spark, documents_path, schema, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if batch_df.isEmpty():
+            return
+        key = format(content_checksum(batch_df) & 0xFFFFFFFFFFFFFFFF, "016x")
+        mentions = mention_op.detect_mentions(spark, batch_df, dict_provider())
+        triples = mention_op.mention_triples(mentions, predicate)
+        triples.write.mode("overwrite").parquet(f"{out_path}/batch={key}")
+
+    (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_incremental_ingest(
     spark: SparkSession,
     documents_path: str,
@@ -79,33 +134,20 @@ def run_incremental_ingest(
 ) -> None:
     """Drain all available document files into per-batch triple partitions.
 
-    `foreachBatch` + content-keyed partition overwrite = idempotent under
-    retry AND under checkpoint loss: the partition key is an
-    order-insensitive fingerprint of the batch's triples, not the micro-batch
-    id — if the checkpointLocation is deleted and batch ids restart at 0, a
-    re-ingest of the same files rewrites the same partitions byte-identically
-    instead of silently overwriting unrelated earlier batches. Resume is the
-    stream checkpoint (processed files are not re-read).
+    The dictionary broadcast is pinned at stream start (point-in-time
+    extraction). Partitions are keyed by document-batch content — see
+    :func:`_drive_extraction_stream` for the idempotence contract (safe
+    under retry AND checkpoint loss); resume is the stream checkpoint
+    (processed files are not re-read).
     """
-    docs = read_document_stream(spark, documents_path, schema, max_files_per_trigger)
-    triples = streaming_mention_triples(spark, docs, dictionary, predicate)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from phenoscape_owl_tools_spark.catalog import content_checksum
-
-        batch_df = batch_df.dropDuplicates().localCheckpoint(eager=True)
-        if batch_df.isEmpty():
-            return  # nothing to write; avoids colliding empty-batch keys
-        key = format(content_checksum(batch_df) & 0xFFFFFFFFFFFFFFFF, "016x")
-        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch={key}")
-
-    (
-        triples.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    bc = mention_op.broadcast_dictionary(spark, dictionary)
+    try:
+        _drive_extraction_stream(
+            spark, documents_path, schema, lambda: bc, predicate,
+            out_path, checkpoint_path, max_files_per_trigger,
+        )
+    finally:
+        bc.unpersist(blocking=False)
 
 
 def run_incremental_ingest_live_dict(
@@ -117,66 +159,51 @@ def run_incremental_ingest_live_dict(
     out_path: str,
     checkpoint_path: str,
     max_files_per_trigger: int | None = None,
+    dict_cache: dict | None = None,
 ) -> None:
     """Streaming extraction against a MUTABLE dictionary table — the
     stream-static "slowly changing dimension" pattern.
 
-    :func:`run_incremental_ingest` fixes the dictionary broadcast at
-    stream start; this variant re-reads ``dict_path`` inside each
-    ``foreachBatch`` so ontology label/synonym updates (new release, new
-    synonyms) take effect on the NEXT micro-batch without restarting the
-    stream. The broadcast matcher is rebuilt only when the dictionary
-    content actually changed (order-insensitive checksum cache — the same
-    fingerprint discipline as catalog resume), so steady-state batches pay
-    one dimension-scale checksum scan and zero rebuilds.
+    :func:`run_incremental_ingest` pins the dictionary at stream start;
+    this variant re-reads ``dict_path`` per micro-batch so ontology
+    label/synonym updates take effect on the NEXT batch without
+    restarting the stream. The broadcast matcher is rebuilt only when the
+    dictionary content actually changed (order-insensitive checksum — the
+    catalog-resume fingerprint discipline): steady-state batches pay one
+    dimension-scale checksum scan and zero rebuilds. Pass a caller-owned
+    ``dict_cache`` dict to keep the broadcast warm ACROSS drain-style
+    invocations (a scheduler calling this every few minutes); without
+    one, the broadcast this call created is unpersisted on return.
 
-    Scale shape: the dictionary is dimension-scale (ontology labels), so
-    the per-change rebuild is a driver collect + broadcast, exactly the
-    batch path's cost; document batches stream through the identical
-    stateless ``mapInPandas`` extraction. The sink keeps the
-    content-keyed idempotent partition contract of
-    :func:`run_incremental_ingest` (retry- and checkpoint-loss-safe).
-    Late-arriving documents extract against the dictionary CURRENT at
-    their batch, not at their event time — the standard stream-static
-    semantics (Spark re-evaluates static sides per micro-batch); pin the
-    dictionary per run_incremental_ingest if point-in-time extraction is
-    required.
+    Documents extract against the dictionary CURRENT at their batch, not
+    at their event time (standard stream-static semantics); because
+    partitions are keyed by document content, a re-extraction after a
+    dictionary update overwrites the stale partition rather than
+    duplicating it (see :func:`_drive_extraction_stream`).
     """
     from phenoscape_owl_tools_spark.catalog import content_checksum
 
-    docs = read_document_stream(spark, documents_path, schema, max_files_per_trigger)
-    cache: dict = {"fp": None, "bc": None}
+    cache = dict_cache if dict_cache is not None else {}
+    own_cache = dict_cache is None
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
+    def provider():
         d = spark.read.parquet(dict_path).select("surface", "iri")
         fp = content_checksum(d)
-        if fp != cache["fp"]:
-            if cache["bc"] is not None:
+        if fp != cache.get("fp"):
+            if cache.get("bc") is not None:
                 cache["bc"].unpersist(blocking=False)
             cache["bc"] = mention_op.broadcast_dictionary(spark, d)
             cache["fp"] = fp
-        mentions = mention_op.detect_mentions(spark, batch_df, cache["bc"])
-        triples = (
-            mentions.select(
-                F.col("doc_id").alias("subj"),
-                F.lit(predicate).alias("pred"),
-                F.col("term").alias("obj"),
-            )
-            .dropDuplicates()
-            .localCheckpoint(eager=True)
-        )
-        if triples.isEmpty():
-            return
-        key = format(content_checksum(triples) & 0xFFFFFFFFFFFFFFFF, "016x")
-        triples.write.mode("overwrite").parquet(f"{out_path}/batch={key}")
+        return cache["bc"]
 
-    (
-        docs.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        _drive_extraction_stream(
+            spark, documents_path, schema, provider, predicate,
+            out_path, checkpoint_path, max_files_per_trigger,
+        )
+    finally:
+        if own_cache and cache.get("bc") is not None:
+            cache["bc"].unpersist(blocking=False)
 
 
 def dedup_document_stream(

@@ -164,3 +164,16 @@ def test_semantic_stage_trained_mode(spark):
     got = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
     dropped = {r["doc_id"] for r in sem.where(~F.col("kept")).collect()}
     assert got == base - dropped
+
+
+def test_trained_mode_with_no_embedded_survivors_falls_back(spark):
+    docs = _docs(spark)
+    # an embedding id namespace disjoint from the corpus: zero survivors embed
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    cfg = corpus_build.CorpusConfig(sem_trained=True)
+    res = corpus_build.run(spark, docs, embeddings=emb, config=cfg)  # must not raise
+    assert res.stages["semantic_kept"].count() == 0
+    got = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
+    assert got == _expected_ids(spark, docs, None, corpus_build.CorpusConfig())

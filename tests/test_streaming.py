@@ -354,3 +354,42 @@ def test_live_dictionary_updates_apply_to_next_batch(spark, tmp_path):
     # the held-out term appears, and only from odd (chunk2) docs
     held_rows = got2.where(F.col("obj") == held_out).select("subj").collect()
     assert held_rows and all(int(r["subj"].rsplit("/", 1)[-1]) % 2 == 1 for r in held_rows)
+
+
+def test_checkpoint_loss_with_dict_update_overwrites_not_duplicates(spark, tmp_path):
+    """Document-content partition keys: losing the checkpoint AND updating
+    the dictionary re-extracts into the SAME partitions — no stale
+    mixed-dictionary siblings survive."""
+    flat = KG.load(spark, SF001, "documents")
+    spans = KG.span_documents(flat)
+    full_dict = KG.terms(flat).select(F.col("label").alias("surface"), "iri")
+    held_out = (
+        mention_op.detect_mentions(spark, spans, full_dict)
+        .groupBy("term").count().orderBy("count", "term").limit(1).collect()
+    )[0]["term"]
+    v1 = full_dict.where(F.col("iri") != held_out)
+
+    in_dir, dict_dir = tmp_path / "docs_in", tmp_path / "dict"
+    spans.coalesce(1).write.mode("append").parquet(str(in_dir))
+    v1.coalesce(1).write.mode("overwrite").parquet(str(dict_dir))
+    out = tmp_path / "out"
+
+    ingest.run_incremental_ingest_live_dict(
+        spark, str(in_dir), spans.schema, str(dict_dir), "mentions",
+        str(out), str(tmp_path / "ckpt1"), max_files_per_trigger=1,
+    )
+    # checkpoint lost + dictionary updated: fresh checkpoint reprocesses
+    # every file against v2 and must overwrite, not append alongside
+    full_dict.coalesce(1).write.mode("overwrite").parquet(str(dict_dir))
+    ingest.run_incremental_ingest_live_dict(
+        spark, str(in_dir), spans.schema, str(dict_dir), "mentions",
+        str(out), str(tmp_path / "ckpt2"), max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(str(out)).select("subj", "pred", "obj")
+    expect = mention_op.mention_triples(
+        mention_op.detect_mentions(spark, spans, full_dict), "mentions"
+    )
+    # exact multiset equality WITHOUT dropDuplicates: stale v1 partitions
+    # would surface as missing held-out triples or extra duplicates
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert got.where(F.col("obj") == held_out).count() > 0
