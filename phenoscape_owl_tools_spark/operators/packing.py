@@ -143,7 +143,24 @@ def chunk_documents(
         n.alias("n"),
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
     )
-    start = (F.col("chunk_id") * stride).cast("int")
+    # F.slice's position argument is a 32-bit int, which imposes a
+    # PER-DOCUMENT token-count ceiling of 2^31-1 (the corpus-wide stream in
+    # pack_sequences stays long-typed; only a single document this long
+    # would wrap). Guard the cast instead of silently wrapping.
+    start_long = F.col("chunk_id") * stride
+    start = F.when(
+        start_long < F.lit((1 << 31) - 1 - size).cast("long"),
+        start_long.cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_documents: document "),
+                F.col("doc_id"),
+                F.lit(" exceeds the 2^31-1 per-document token ceiling "),
+                F.lit("imposed by F.slice's int position argument"),
+            )
+        )
+    )
     window = F.slice(F.col("toks"), start + 1, size)
     return e.select(
         "doc_id",

@@ -55,12 +55,19 @@ def quota_sample(
     Contract: rows with a NULL group key are dropped (the offset join is
     an inner equi-join, and SQL equality never matches NULL) — coalesce
     the group column upstream if un-grouped documents should participate.
+    NULL text counts as one empty token — the same total-function contract
+    as ``packing._text`` (r4 drift: NULL-text rows used to vanish here via
+    NULL ``n_tokens`` while ``pack_sequences`` kept them; both halves of
+    the corpus pipeline now agree on the degenerate input, and the SQL
+    oracle mirrors the coalesce).
     """
     assert 1 <= bucket_chars <= 4
     t = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col(by).alias("grp"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("rk"),
     )
     # leading hex chars of rk = a contiguous range of the rk order

@@ -254,27 +254,77 @@ def semantic_dedup(
     threshold: float = 0.4,
     n_blocks: int = 8,
     centroids: list | None = None,
+    mode: str = "cascade",
 ) -> DataFrame:
     """(vec_id, cluster, kept): the SemDeDup keep/drop decision per vector.
 
-    ``kept = false`` iff a smaller-id vector in the same cluster is within
-    the cosine threshold (sorted-greedy rule). One left-anti-shaped flag
-    join against the distinct dropped ids — the pair table is the only
-    quadratic artifact and it never leaves the executors unfiltered.
+    ``mode="cascade"`` (default, the oracle-paired registry semantics):
+    ``kept = false`` iff ANY smaller-id vector in the same cluster is
+    within the cosine threshold — one left-anti-shaped flag join against
+    the distinct dropped ids; the pair table is the only quadratic
+    artifact and it never leaves the executors unfiltered. NOTE this is
+    deliberately STRICTER than Abbas et al. (SemDeDup, 2023), whose rule
+    keeps one representative per duplicate group: cosine near-dup is not
+    transitive, so in a chain a~b~c (c near b but not near a) cascade
+    drops BOTH b and c even though c is not near any kept document. The
+    cascade rule is a pure join (no sequential dependence), which is why
+    it is the scale default.
+
+    ``mode="kept_set"`` implements the paper's keep-against-kept-set
+    greedy exactly: ids are scanned ascending per cluster and a vector is
+    dropped only if a KEPT smaller-id neighbor is within threshold (in
+    a~b~c, b drops and c survives). The sequential dependence is confined
+    to one ``applyInPandas`` over the per-cluster NEAR-DUP PAIR list —
+    memory is O(pairs in cluster), not O(cluster²), and only ids that
+    appear in some pair are shuffled; pair generation stays the tiled
+    GEMM. kept_set never drops more than cascade (asserted in tests).
 
     The assignment frame feeds both the pair tiling and the final flag
     join; it is materialized ONCE (plans have no subtree reuse — without
     this the scan + unit-fold + GEMM lineage executes twice).
     """
+    if mode not in ("cascade", "kept_set"):
+        raise ValueError(f"mode must be 'cascade' or 'kept_set', got {mode!r}")
     assigned = assign_clusters(embeddings, k, centroids).localCheckpoint(eager=True)
-    dropped = (
-        _within_cluster_pairs(assigned, threshold, n_blocks)
-        .select(F.col("id_b").alias("vec_id"))
-        .dropDuplicates()
-        .withColumn("_drop", F.lit(True))
-    )
+    pairs = _within_cluster_pairs(assigned, threshold, n_blocks)
+    if mode == "cascade":
+        dropped = (
+            pairs.select(F.col("id_b").alias("vec_id"))
+            .dropDuplicates()
+            .withColumn("_drop", F.lit(True))
+        )
+    else:
+        dropped = _kept_set_dropped(pairs)
     return assigned.join(dropped, "vec_id", "left").select(
         "vec_id",
         "cluster",
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )
+
+
+def _kept_set_dropped(pairs: DataFrame) -> DataFrame:
+    """Sequential greedy per cluster over the near-dup pair list: scanning
+    ids ascending, an id is dropped iff some KEPT smaller neighbor exists.
+    Ids in no pair never enter this function (trivially kept upstream)."""
+    import pandas as pd
+
+    id_t = pairs.schema["id_a"].dataType.simpleString()
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        smaller: dict = {}
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            smaller.setdefault(b, []).append(a)
+        kept: set = set()
+        out = []
+        for i in sorted(set(pdf["id_a"]) | set(pdf["id_b"])):
+            if any(n in kept for n in smaller.get(i, ())):
+                out.append(i)
+            else:
+                kept.add(i)
+        return pd.DataFrame({"vec_id": out, "_drop": True})
+
+    return (
+        pairs.select("cluster", "id_a", "id_b")
+        .groupBy("cluster")
+        .applyInPandas(greedy, f"vec_id {id_t}, _drop boolean")
     )

@@ -440,11 +440,31 @@ def top_subsumers(pair_annotation_scores: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def corpus_hub_nodes(
+    corpus_profiles: DataFrame, closure: DataFrame, bits: int
+) -> list[str]:
+    """The ``bits`` most corpus-frequent indirect-association nodes
+    (deterministic tie-break by node) — the hub list
+    :func:`jaccard_similarity` probes for itself when none is supplied.
+    Compute once and pass via ``hubs=`` to amortize the probe (one
+    groupBy/orderBy/limit/collect) across repeated similarity calls
+    against the same corpus (r3 verdict nit)."""
+    ci = indirect_associations(
+        corpus_profiles.select("individual", "phenotype"), closure
+    )
+    return [
+        r["node"]
+        for r in ci.groupBy("node").count()
+        .orderBy(F.desc("count"), F.asc("node")).limit(bits).collect()
+    ]
+
+
 def jaccard_similarity(
     query_profiles: DataFrame,
     corpus_profiles: DataFrame,
     closure: DataFrame,
     hub_bits: int | None = None,
+    hubs: list[str] | None = None,
 ) -> DataFrame:
     """J10 — |anc(q) ∩ anc(c)| / |anc(q) ∪ anc(c)| over indirect
     association sets (OWLsim.scala:289-293).
@@ -460,7 +480,12 @@ def jaccard_similarity(
     ``hub_bits=None`` auto-selects like :func:`pairwise_scores`; 0 = the
     plain single-join plan. Results are identical for any setting —
     intersection cardinality is a sum over the disjoint hub/rare node sets
-    (asserted by tests/test_similarity.py)."""
+    (asserted by tests/test_similarity.py).
+
+    ``hubs`` injects a precomputed hub-node list (see
+    :func:`corpus_hub_nodes`) so repeated calls against the same corpus
+    skip the per-call frequency probe; any node list works — correctness
+    never depends on WHICH nodes are hubs, only the skew bound does."""
     qi = indirect_associations(
         query_profiles.select("individual", "phenotype"), closure
     ).select(F.col("individual").alias("query"), F.col("node"))
@@ -469,12 +494,16 @@ def jaccard_similarity(
     ).select(F.col("individual").alias("corpus"), F.col("node"))
     q_sizes = qi.groupBy("query").agg(F.countDistinct("node").alias("n_q"))
     c_sizes = ci.groupBy("corpus").agg(F.countDistinct("node").alias("n_c"))
+    if hubs is not None and hub_bits is None:
+        hub_bits = len(hubs)
     if hub_bits is None:
         n_q = query_profiles.count()
         n_c = corpus_profiles.count()
         hub_bits = 0 if n_q * n_c <= AUTO_HUB_PRODUCT_THRESHOLD else 62
     if not 0 <= hub_bits <= 62:
         raise ValueError(f"hub_bits must be in [0, 62], got {hub_bits}")
+    if hubs is not None and len(hubs) < hub_bits:
+        raise ValueError(f"hubs has {len(hubs)} nodes, hub_bits={hub_bits}")
     if hub_bits == 0:
         inter = (
             qi.join(ci, on="node")
@@ -483,11 +512,14 @@ def jaccard_similarity(
         )
     else:
         spark = qi.sparkSession
-        hubs = [
-            r["node"]
-            for r in ci.groupBy("node").count()
-            .orderBy(F.desc("count"), F.asc("node")).limit(hub_bits).collect()
-        ]
+        if hubs is None:
+            hubs = [
+                r["node"]
+                for r in ci.groupBy("node").count()
+                .orderBy(F.desc("count"), F.asc("node")).limit(hub_bits).collect()
+            ]
+        else:
+            hubs = list(hubs)[:hub_bits]
         hub_pos = F.broadcast(
             spark.createDataFrame(
                 [(h, i) for i, h in enumerate(hubs)], ["node", "hub_pos"]

@@ -96,9 +96,21 @@ def _drive_extraction_stream(
     batches are skipped.
 
     The overwrite guarantee is exact when re-ingest groups files into the
-    same batches; run with ``max_files_per_trigger=1`` (batch == one
-    file, grouping deterministic) where checkpoint-loss re-ingest under a
-    CHANGED dictionary must not leave mixed-dictionary partitions.
+    same batches; both public entry points therefore DEFAULT to
+    ``max_files_per_trigger=1`` (batch == one file, grouping
+    deterministic), which also guards checkpoint-loss re-ingest under a
+    CHANGED dictionary from leaving mixed-dictionary partitions.
+
+    KEY-FORMAT MIGRATION (r4): partition keys changed from
+    triple-content to document-content checksums. An ``out_path``
+    written by the pre-r4 code holds ``batch=<hex>`` directories under
+    the OLD scheme that re-ingest will never overwrite — re-ingesting
+    into such a path after checkpoint loss leaves the stale triple-keyed
+    siblings alongside the new partitions (duplicate triples). Migrate
+    by draining into a FRESH ``out_path`` (or deleting legacy
+    ``batch=*`` directories first); the ingest itself cannot
+    distinguish a legacy partition from a foreign writer's, so it never
+    deletes directories it didn't key.
     """
     from phenoscape_owl_tools_spark.catalog import content_checksum
 
@@ -130,7 +142,7 @@ def run_incremental_ingest(
     predicate: str,
     out_path: str,
     checkpoint_path: str,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = 1,
 ) -> None:
     """Drain all available document files into per-batch triple partitions.
 
@@ -139,6 +151,12 @@ def run_incremental_ingest(
     :func:`_drive_extraction_stream` for the idempotence contract (safe
     under retry AND checkpoint loss); resume is the stream checkpoint
     (processed files are not re-read).
+
+    ``max_files_per_trigger`` defaults to 1 (batch == one file) so batch
+    grouping — and therefore the partition keys — is deterministic under
+    checkpoint-loss re-ingest; raise it (or pass ``None`` for unbounded)
+    only where re-ingest determinism doesn't matter and per-batch
+    overhead does.
     """
     bc = mention_op.broadcast_dictionary(spark, dictionary)
     try:
@@ -158,7 +176,7 @@ def run_incremental_ingest_live_dict(
     predicate: str,
     out_path: str,
     checkpoint_path: str,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = 1,
     dict_cache: dict | None = None,
 ) -> None:
     """Streaming extraction against a MUTABLE dictionary table — the

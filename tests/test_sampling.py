@@ -85,3 +85,14 @@ def test_quota_sample_drops_null_group_keys(spark):
             Row(doc_id=2, lang=None, text="d e f")]
     got = quota_sample(spark.createDataFrame(rows), budget_tokens=100).collect()
     assert [r["doc_id"] for r in got] == ["1"]
+
+
+def test_quota_sample_null_text_counts_one_empty_token(spark):
+    # r4 verdict "What's wrong #2": quota_sample and packing._text must
+    # agree on the degenerate input — NULL text reads as ONE empty token
+    # (the row participates in the budget instead of silently vanishing).
+    rows = [Row(doc_id=1, lang="en", text="a b c"),
+            Row(doc_id=2, lang="en", text=None)]
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in quota_sample(spark.createDataFrame(rows), budget_tokens=100).collect()}
+    assert got == {"1": 3, "2": 1}

@@ -159,3 +159,76 @@ def test_trained_centroids_balance_and_stay_deterministic(spark):
     dropped = {r["id_b"] for r in pairs}
     dec = semantic_dedup(emb, k=4, threshold=0.9, centroids=cents).collect()
     assert all(r["kept"] == (r["vec_id"] not in dropped) for r in dec)
+
+
+def _chain_emb(spark):
+    # a ~ b ~ c chain where c is NOT near a: unit vectors at angles
+    # 0, t, 2t with cos(t) just over the threshold and cos(2t) under it
+    t = 0.5
+    rows = [
+        Row(vec_id=i, embedding=[math.cos(i * t), math.sin(i * t)])
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_kept_set_mode_matches_paper_on_chains(spark):
+    """ADVICE r4: cascade drops through already-dropped docs (stricter
+    than Abbas et al.); kept_set implements the paper's
+    keep-against-kept-set greedy — in a ~ b ~ c (c near b, not near a),
+    b drops and c SURVIVES."""
+    emb = _chain_emb(spark)
+    thr = 0.85  # cos(0.5)=0.878 > thr, cos(1.0)=0.540 < thr
+    casc = {r["vec_id"]: r["kept"]
+            for r in semantic_dedup(emb, k=1, threshold=thr).collect()}
+    paper = {r["vec_id"]: r["kept"]
+             for r in semantic_dedup(emb, k=1, threshold=thr, mode="kept_set").collect()}
+    assert casc == {0: True, 1: False, 2: False}
+    assert paper == {0: True, 1: False, 2: True}
+
+
+def test_kept_set_never_drops_more_than_cascade(spark):
+    emb = _mkemb(spark)
+    for thr in (0.9, 0.999):
+        casc = {r["vec_id"]: r["kept"]
+                for r in semantic_dedup(emb, k=4, threshold=thr).collect()}
+        paper = {r["vec_id"]: r["kept"]
+                 for r in semantic_dedup(emb, k=4, threshold=thr, mode="kept_set").collect()}
+        assert set(casc) == set(paper)
+        # kept_set keeps a superset: every cascade-kept doc stays kept
+        assert all(paper[i] for i in casc if casc[i])
+        # kept_set must equal the sequential greedy run over the SAME
+        # near-dup pairs (the sin fixture chains through its ~2pi/0.7
+        # near-period, so cascade and kept_set genuinely diverge here)
+        from phenoscape_owl_tools_spark.operators.semdedup import (
+            assign_clusters,
+            _within_cluster_pairs,
+        )
+        assigned = assign_clusters(emb, 4)
+        pair_rows = _within_cluster_pairs(assigned, thr, 8).collect()
+        smaller: dict[int, list[int]] = {}
+        ids = set()
+        for r in pair_rows:
+            smaller.setdefault(r["id_b"], []).append(r["id_a"])
+            ids |= {r["id_a"], r["id_b"]}
+        kept: set[int] = set()
+        for i in sorted(ids):
+            if not any(n in kept for n in smaller.get(i, ())):
+                kept.add(i)
+        expect = {i: (i not in ids or i in kept) for i in paper}
+        assert paper == expect
+        # at 0.999 only the sparse i -> i+9 near-period CHAINS survive as
+        # pairs, so the two modes genuinely diverge; at 0.9 the graph is
+        # dense near-cliques (everyone neighbors the kept minimum) where
+        # the modes legitimately agree
+        if thr == 0.999:
+            assert casc != paper
+
+
+def test_semantic_dedup_rejects_unknown_mode(spark):
+    emb = _mkemb(spark, n=8)
+    try:
+        semantic_dedup(emb, mode="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

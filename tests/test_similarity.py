@@ -343,6 +343,31 @@ def test_jaccard_hub_blocking_exactness(spark):
         assert rows(bits) == plain, f"hub_bits={bits} diverged"
 
 
+def test_jaccard_precomputed_hubs_skip_probe_and_match(spark):
+    """r5: a caller-supplied hub list (corpus_hub_nodes) must produce
+    bit-identical results to the internal per-call frequency probe, and
+    an ARBITRARY node list must also stay exact (correctness never
+    depends on which nodes are hubs, only the skew bound does)."""
+    prof_df, cl = _skewed_case(spark)
+    q = prof_df.where(prof_df["individual"].startswith("GENE"))
+    c = prof_df.where(prof_df["individual"].startswith("VTO"))
+
+    def rows(**kw):
+        return {
+            (r["query"], r["corpus"], round(r["jaccard"], 12))
+            for r in similarity.jaccard_similarity(q, c, cl, **kw).collect()
+        }
+
+    probed = rows(hub_bits=4)
+    hubs = similarity.corpus_hub_nodes(c, cl, 4)
+    assert len(hubs) == 4
+    assert rows(hubs=hubs) == probed
+    # arbitrary (suboptimal) hub choice: last hub swapped for a rare node
+    rare = sorted({r["phenotype"] for r in c.select("phenotype").collect()}
+                  - set(hubs))[:1]
+    assert rows(hubs=hubs[:3] + rare) == probed
+
+
 def test_global_rank_stable_across_reexecutions(spark):
     """ADVICE r3 (high): repartitionByRange samples boundaries with an
     RDD-id-derived seed, so re-executing a lazy global_rank plan used to
