@@ -2606,13 +2606,51 @@ SELECT doc_id, min(sha256(substr(text, i, 5))) AS fp FROM g GROUP BY 1
 """
 
 
+# A fixed 24x16 RGB8 PNG (filter cycle None/Sub/Up/Average/Paeth) whose
+# REAL stdlib-zlib decode (multimodal.decode_png) must produce exactly the
+# constant row the oracle carries — a decoder regression flips the value
+# hash. Generated once by tests/test_multimodal._make_png(24,16,seed=42).
+PNG_PROBE_B64 = (
+    "iVBORw0KGgoAAAANSUhEUgAAABgAAAAQCAIAAACDRijCAAAEm0lEQVR4nAGQBG/7AEhLKK8D"
+    "LGgjCQ+nlXSnrIYtWbwczKR3g3R7vk+6qI/WfSnlmc2Um5rHdUjFdawiSbDS3P4Ak4q/eBN7"
+    "z51MHDc+bNokWzn+SwEAb5BGuo/wzYDaH0PHCsu+ufQqKnL+Js6NreTGlxdAiZpvS2OSf9H8"
+    "+inXzj/lGLJJRYZT+XPPt6Wv1bye1DSYqdO+WIg2AGACvm07aEfx6hYKjMiY4+oTfG12xQwG"
+    "XptVyIsRI5CtYQL5LIo9YTZH4eK3FLpZWixTYoyM+lh58LlYDtNdPvRycaaayULrKpTdA4n/"
+    "te5BdukK1Hd+HQA7TOtT0pl/PfZr8cfOQChXrNQT7lBfcOukVYbH/6VrV+R8wQ9BgXG6Mhf4"
+    "RDwfF3ISM6IlVe40nM4g9QTd8IDi7uCOA6i1u6QXYkXfSSMmYCgAG8ChI59WkPzGH5HHB1B5"
+    "waMnIIk/I1a8FSm1MyS6c4S5RqqjFdg2RLk49kxtloKoZekAfUdL5tAoutintu/n531d0geB"
+    "tLnpnMGFvtxSReTnDo3JWV/XxyJJ5AjrUhpicFvmOuaDGmNUCU79/ChAWLH7NtFAWVmzyrga"
+    "ARUmDXqaNBkUx9hFZC8BpPGucZcVD4I7iZyl4teU5Jvor1+mdpvQAJqCC9xAgXclrDCWAf4f"
+    "gUiqVmsQ/dQcJJ4RdocKe/P0FgJhLpBXA460Dfg84ZCbZtDrB/X/6xmYqxpsuc7IXoUl/gjo"
+    "K4lKjx31vOP4jLwSdV5nCBI0l3AMmui4Xd64CsIKIFO26gA/dgwDK2NN+mqJ6GkX9SEQZjJ5"
+    "KP+EjTZnXjpKwaFawgtV/QXd8rVKLxtN0JBeDaTxdnpf2osRZrDtj6n23q5niUdeZmT+kDtb"
+    "h/KIBCZf6zA1GZQ52/SqPq13zO0ysvcuwXAh/5Zcsz44o0AeyWy+Ocqywnc4kZPM7fyVF+As"
+    "GIM3lzrsILx5UNskvXg1/IFz3Pts6ABw7L3py0cWLVoRNYhQMbdxLsg5hqOMNO1rJuGvMpoU"
+    "HHCeIyxM/77aewLXiiC+eWKshbOyvTpsTgK6TvETNp6aW5Ug8fDU9qEBd2iARpsZfhpcq4bL"
+    "9sNTTu4QeXHF3EJac4ozBecShsmIh6/StpHbp0nya6UPBHuBUThhyU+XJmK/RA4KT/YU1yuC"
+    "brZvTwTrAnMzbMIfnnYwNZBgYZG1ZeTPeIEDSgZyyx9Lsggq839FB2nT0BHaarNlMsK73xwW"
+    "dBsGYCl0G1/nB0WNebAzKG0LUCoNc8ZQZwN60osNn1Ct+bZN8Y7n0yn89ORLPnoojGAzNxyz"
+    "NVRlGrKuUkG3HgPh7m0a/12M86wlWmTERuICMdYc3CVOqsBkP5ly+ZamePwEn9Gd7mFFxof0"
+    "qHHuTRTYAys2zkc5155hwYbUZQDjOQOqHzx4/0yTWd+1WRoo2Afresnl41p0QxPXd758XFku"
+    "EZh+ypfV3DdAAKxqgv0vqLHaDi7cnUnCTvrsHg+M81PDMiYqj3P9gPbce6e2XxXKrbSKR7i6"
+    "yhWR1NEerk+LpCe4sJ6PSKgZ2DtmmjEzT3npl2qPOlVIc42bAAAAAElFTkSuQmCC"
+)
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
+    import base64
+
     from phenoscape_owl_tools_spark.operators import multimodal
     from phenoscape_owl_tools_spark.sources.documents import media_spans
 
     spans = KG.span_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_media_features(media_spans(spans))
-    return feats.select(
+    png_span = spark.createDataFrame(
+        [("png:probe", "probe.png", bytearray(base64.b64decode(PNG_PROBE_B64)))],
+        "doc_id string, media_ref string, media_bytes binary",
+    )
+    png_feats = multimodal.extract_media_features(png_span, deterministic=False)
+    return feats.unionByName(png_feats).select(
         "doc_id", "media_ref",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
@@ -2634,6 +2672,12 @@ SELECT doc_id, media_ref,
        instr('0123456789abcdef', substr(hx, 3, 1)) AS n_frames,
        substr(hx, 1, 16) AS feature_sig
 FROM h
+UNION ALL
+-- the PNG probe row: the Spark side REALLY decodes the embedded payload
+-- (stdlib-zlib inflate + RFC 2083 unfilter); these constants are the known
+-- golden decode of PNG_PROBE_B64 — any decoder regression hash-mismatches
+SELECT 'png:probe', 'probe.png', cast(24 AS bigint), cast(16 AS bigint),
+       cast(1 AS bigint), '3db3c587b699f3da'
 """
 
 

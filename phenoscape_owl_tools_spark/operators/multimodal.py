@@ -5,12 +5,13 @@ The reference ingests image-depiction records (image URL + depicted
 structure, PhenoteImageDepictionsToOWL.scala:31-61); our interleaved input
 carries those as media spans (kind='media', media_ref). This module makes
 the Spark-side plumbing real — schema, partitioning, UDF signature, Arrow
-batch shape — and the decode itself is REAL for uncompressed container
-formats (BMP 24/32-bit images, RIFF/WAVE PCM audio: pure struct + numpy,
-no external library needed). Compressed formats (JPEG/PNG/MP4) are the one
-remaining stub behind an import-try — those genuinely need codec libraries
-this environment does not ship. A deterministic fake decode also remains
-for SQL-oracle-checkable end-to-end runs over refs without payloads.
+batch shape — and the decode itself is REAL for formats the Python stdlib
+can carry: BMP 24/32-bit images and RIFF/WAVE PCM audio (pure
+struct + numpy) plus PNG (DEFLATE via stdlib ``zlib`` + RFC 2083 scanline
+unfiltering — all color types, depths 1-16, all five filters). Formats
+whose codecs the environment genuinely lacks (JPEG/FLAC/MP4) remain the
+one documented stub. A deterministic fake decode also remains for
+SQL-oracle-checkable end-to-end runs over refs without payloads.
 
 Scale notes (100 TB): media bytes are the dominant payload; they never
 shuffle — fetch/decode/feature-extract is map-only over Arrow batches, and
@@ -132,17 +133,111 @@ def decode_wav(data: bytes) -> tuple[int, int, int, str]:
     return channels, bits, n_frames, sig
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# bytes per pixel-group numerator: samples per pixel by PNG color type
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, str]:
+    """Decode a non-interlaced PNG with stdlib ``zlib`` only — no codec
+    library needed (the r4 'no codec libraries in env' boundary was softer
+    than documented: DEFLATE ships with CPython).
+
+    Supports all five PNG color types at bit depths 1/2/4/8/16 and all
+    five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+    Returns (width, height, n_frames=1, feature_sig) where feature_sig is
+    sha256 over the UNFILTERED raw scanline bytes — the stored pixel
+    array exactly as the encoder saw it (palette images hash index bytes;
+    consistent with decode_bmp's pixel-array hash, stable across
+    machines). Adam7-interlaced files raise NotImplementedError (rare in
+    machine-generated corpora; deinterlacing is a layout permutation, not
+    a codec problem).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack_from(">IIBBBBB", body, 0)
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + CRC
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_SAMPLES:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    samples = _PNG_SAMPLES[color_type]
+    # filters operate on BYTES, offset by bpp = whole bytes per pixel
+    # (minimum 1 for sub-byte depths, RFC 2083 §6.2)
+    bpp = max(1, (samples * bit_depth) // 8)
+    stride = (width * samples * bit_depth + 7) // 8
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    sig = hashlib.sha256(out.tobytes()).hexdigest()[:16]
+    return width, height, 1, sig
+
+
 def decode_media(data: bytes) -> tuple[int, int, int, str]:
-    """Sniff + decode a media payload. BMP/WAV are fully decoded here;
-    compressed formats raise NotImplementedError (codec libraries are not
-    available in this environment — the one remaining stub)."""
+    """Sniff + decode a media payload. BMP/WAV/PNG are fully decoded here
+    (PNG via stdlib zlib — see :func:`decode_png`); formats whose codecs
+    this environment genuinely lacks (JPEG/FLAC/MP4) raise
+    NotImplementedError — the one remaining stub."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    if data[:8] == PNG_MAGIC:
+        return decode_png(data)
     raise NotImplementedError(
-        "compressed media formats (JPEG/PNG/MP4/...) require codec "
-        "libraries not shipped in this environment"
+        "media formats needing codec libraries this environment does not "
+        "ship (JPEG/FLAC/MP4/...) are stubbed; BMP/WAV/PNG decode is real"
     )
 
 

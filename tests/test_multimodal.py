@@ -133,7 +133,111 @@ def test_real_bmp_wav_decode():
 
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x89PNG\r\n\x1a\n....")
+        multimodal.decode_media(b"\xff\xd8\xff\xe0jpeg-soi")
+
+
+def _make_png(width, height, color_type=2, bit_depth=8, seed=5, interlace=0,
+              filter_cycle=(0, 1, 2, 3, 4)):
+    """From-scratch PNG encoder (forward filtering — the decoder inverts
+    it, so the two directions are independent implementations). Returns
+    (png_bytes, raw_unfiltered_scanline_bytes)."""
+    import struct
+    import zlib
+
+    samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = (width * samples * bit_depth + 7) // 8
+    bpp = max(1, (samples * bit_depth) // 8)
+    v, raw = seed, []
+    for _ in range(height):
+        row = bytearray()
+        for _ in range(stride):
+            v = (v * 1103515245 + 12345) & 0x7FFFFFFF
+            row.append((v >> 13) & 0xFF)
+        raw.append(bytes(row))
+    out, prev = bytearray(), bytes(stride)
+    for y, row in enumerate(raw):
+        f = filter_cycle[y % len(filter_cycle)]
+        out.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, interlace)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        plte = bytes(x for i in range(256) for x in (i, i, i))
+        parts.append(chunk(b"PLTE", plte))
+    parts.append(chunk(b"IDAT", zlib.compress(bytes(out))))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts), b"".join(raw)
+
+
+def test_png_decode_golden_pixels_all_filters():
+    """decode_png must recover the exact unfiltered scanline bytes the
+    encoder filtered away — the filter cycle covers all five RFC 2083
+    filters, and the sig is sha256 over the known raw array (golden)."""
+    import hashlib
+
+    for kw in (
+        dict(color_type=2),                 # RGB8
+        dict(color_type=0),                 # gray8
+        dict(color_type=6),                 # RGBA8
+        dict(color_type=4),                 # gray+alpha
+        dict(color_type=3),                 # palette indices
+        dict(color_type=0, bit_depth=16),   # gray16 (bpp=2)
+        dict(color_type=2, bit_depth=16),   # RGB16 (bpp=6)
+        dict(color_type=0, bit_depth=1),    # sub-byte depth (bpp=1 floor)
+        dict(color_type=0, bit_depth=4),
+    ):
+        png, raw = _make_png(13, 9, seed=11, **kw)
+        w, h, nf, sig = multimodal.decode_media(png)
+        assert (w, h, nf) == (13, 9, 1), kw
+        assert sig == hashlib.sha256(raw).hexdigest()[:16], kw
+
+
+def test_png_decode_rejects_interlace_and_garbage():
+    import pytest as _pytest
+
+    png, _ = _make_png(6, 6, interlace=1)
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_media(png)
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\nnochunks")
+    # truncated pixel data must not silently decode
+    import struct
+    import zlib as _z
+    png, _ = _make_png(6, 6)
+    # corrupt: drop last IDAT byte pre-compression by re-encoding short
+    bad_idat = _z.compress(b"\x00" * 5)  # wrong length for 6x6 RGB
+    ihdr = struct.pack(">IIBBBBB", 6, 6, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body)))
+
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(bad)
 
 
 def test_real_decode_through_spark(spark):
