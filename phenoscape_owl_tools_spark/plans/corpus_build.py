@@ -55,7 +55,9 @@ class CorpusConfig:
 
     min_quality: float = 0.05  # quality_score.q lower bound
     max_dup_word_frac: float = 0.95  # repetition_stats upper bound
-    lsh_threshold: float = 0.5  # verified-Jaccard near-dup cut
+    lsh_threshold: float | None = 0.5  # near-dup cut; None skips the
+    # pairs/clusters stages entirely (the streaming funnel's batch twin —
+    # LSH clustering is a whole-corpus op with no incremental equivalent)
     decontam_ngram: int = 3
     decontam_min_overlap: int = 1
     budget_tokens: int | None = None  # per-group cut; None = keep all
@@ -177,24 +179,27 @@ def run(
         "left_semi",
     )
 
-    pairs = stage(
-        "neardup_pairs",
-        _fingerprint("pairs", in_fp),
-        lambda: dedup.minhash_lsh_dedup(
-            exact_kept, threshold=cfg.lsh_threshold
-        ),
-    )
-    clusters = stage(
-        "dup_clusters",
-        _fingerprint("clusters", in_fp),
-        lambda: dedup.dedup_clusters(exact_kept, pairs),
-        bucket_col="doc_id",
-    )
-    deduped = exact_kept.join(
-        clusters.where(F.col("keep_flag") == 1).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    if cfg.lsh_threshold is not None:
+        pairs = stage(
+            "neardup_pairs",
+            _fingerprint("pairs", in_fp),
+            lambda: dedup.minhash_lsh_dedup(
+                exact_kept, threshold=cfg.lsh_threshold
+            ),
+        )
+        clusters = stage(
+            "dup_clusters",
+            _fingerprint("clusters", in_fp),
+            lambda: dedup.dedup_clusters(exact_kept, pairs),
+            bucket_col="doc_id",
+        )
+        deduped = exact_kept.join(
+            clusters.where(F.col("keep_flag") == 1).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    else:
+        deduped = exact_kept
 
     if embeddings is not None:
         # X27: SemDeDup over the survivors' embeddings (vec_id == doc_id).

@@ -1427,3 +1427,106 @@ def test_optional_filter_var_bound_nowhere_raises(spark):
          'OPTIONAL { ?s ex:q ?v . FILTER(?nowhere = "z") } }')
     with pytest.raises(ValueError, match=r"\?nowhere"):
         sparql.evaluate(t, q).collect()
+
+
+# ------------------- DELETE WHERE with property paths (engine extension)
+
+
+def _pg(spark, edges):
+    return spark.createDataFrame(
+        [(EX + s, EX + p, EX + o) for s, p, o in edges],
+        "subj string, pred string, obj string",
+    )
+
+
+def _rows(df):
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+
+def test_delete_where_plus_path_from_constant(spark):
+    """DELETE WHERE { ex:a ex:p+ ?y } deletes exactly the p-edges on
+    chains out of a — the detached chain d->e survives."""
+    g = _pg(spark, [("a", "p", "b"), ("b", "p", "c"), ("d", "p", "e"),
+                    ("a", "q", "b")])
+    out = sparql.update(
+        g, f"PREFIX ex: <{EX}> DELETE WHERE {{ ex:a ex:p+ ?y }}")
+    assert _rows(out) == {(EX + "d", EX + "p", EX + "e"),
+                          (EX + "a", EX + "q", EX + "b")}
+
+
+def test_delete_where_sequence_path_deletes_both_hops(spark):
+    g = _pg(spark, [("a", "p", "b"), ("b", "q", "c"),
+                    ("x", "p", "y"),  # p-edge with no q continuation: kept
+                    ("m", "q", "n")])  # q-edge with no p predecessor: kept
+    out = sparql.update(
+        g, f"PREFIX ex: <{EX}> DELETE WHERE {{ ?s ex:p/ex:q ?o }}")
+    assert _rows(out) == {(EX + "x", EX + "p", EX + "y"),
+                          (EX + "m", EX + "q", EX + "n")}
+
+
+def test_delete_where_alt_and_inverse(spark):
+    g = _pg(spark, [("a", "p", "b"), ("b", "r", "a"), ("a", "z", "c")])
+    # ^r between (a, b) traverses the forward triple (b, r, a)
+    out = sparql.update(
+        g, f"PREFIX ex: <{EX}> DELETE WHERE {{ ex:a (ex:p|^ex:r) ?y }}")
+    assert _rows(out) == {(EX + "a", EX + "z", EX + "c")}
+
+
+def test_delete_where_path_restricted_by_sibling_pattern(spark):
+    g = _pg(spark, [("a", "t", "k"), ("a", "p", "b"), ("b", "p", "c"),
+                    ("z", "p", "w")])
+    # only subjects with a t-edge anchor the path: z's chain survives;
+    # the sibling t-pattern is itself part of the DELETE WHERE template
+    # (standard shorthand semantics), so (a, t, k) goes too
+    out = sparql.update(
+        g, f"PREFIX ex: <{EX}> DELETE WHERE {{ ?x ex:t ?k . ?x ex:p+ ?y }}")
+    assert _rows(out) == {(EX + "z", EX + "p", EX + "w")}
+
+
+def test_delete_where_star_zero_length_traverses_nothing(spark):
+    # MID-sequence star (the engine drops a LEADING star's zero arm, so
+    # q/p* exercises the zero-length path): a q-only match deletes just
+    # the q-edge; the p-chain extension deletes its p-hops too
+    g = _pg(spark, [("a", "q", "b"), ("b", "p", "c"), ("k", "z", "l")])
+    out = sparql.update(
+        g, f"PREFIX ex: <{EX}> DELETE WHERE {{ ?s ex:q/ex:p* ?o }}")
+    assert _rows(out) == {(EX + "k", EX + "z", EX + "l")}
+    # a lone q-edge: zero-arm match deletes the q, and there are no
+    # p-edges to traverse — detached p-edge elsewhere survives
+    g2 = _pg(spark, [("a", "q", "b"), ("x", "p", "y")])
+    out2 = sparql.update(
+        g2, f"PREFIX ex: <{EX}> DELETE WHERE {{ ?s ex:q/ex:p* ?o }}")
+    assert _rows(out2) == {(EX + "x", EX + "p", EX + "y")}
+
+
+def test_delete_where_path_fuzz_vs_naive(spark):
+    """Differential: engine DELETE WHERE { ?s <path> ?o } equals
+    base - n_path_edges(pairs = naive path relation) over random graphs
+    and a grammar of path shapes."""
+    import random
+
+    from tests.naive_sparql import n_path, n_path_edges
+    from phenoscape_owl_tools_spark.sparql import parse
+
+    preds = ["p", "q", "r"]
+    rng = random.Random(77)
+    shapes = [
+        "ex:p+", "ex:q*", "ex:p/ex:q", "ex:p|ex:q", "^ex:p",
+        "ex:p/ex:q+", "(ex:p|ex:q)/ex:r", "ex:p?/ex:r", "ex:p+/ex:q*",
+        "^ex:p/ex:q", "(ex:p|^ex:q)+", "!(ex:p)", "ex:p*/ex:q/ex:r?",
+    ]
+    for trial, shape in enumerate(shapes):
+        nodes = [f"n{i}" for i in range(8)]
+        edges = {
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(14)
+        }
+        g = _pg(spark, sorted(edges))
+        stmt = f"PREFIX ex: <{EX}> DELETE WHERE {{ ?s {shape} ?o }}"
+        got = _rows(sparql.update(g, stmt))
+        q = parse(stmt)
+        pnode = q.delete_template[0][1]
+        trips = [(EX + s, EX + p, EX + o) for s, p, o in edges]
+        pairs = n_path(trips, pnode)
+        expect = set(trips) - n_path_edges(trips, pnode, pairs)
+        assert got == expect, f"shape {shape!r} diverged"

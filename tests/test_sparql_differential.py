@@ -562,3 +562,75 @@ def test_differential_yields_comparisons(spark):
     silently testing only the error paths."""
     outcomes = [_run_both(spark, seed) for seed in range(40, 60)]
     assert outcomes.count("compared") >= 12, Counter(outcomes)
+
+
+# --------------- DELETE WHERE (incl. property paths, engine extension)
+
+
+def _mk_delete_query(rng: random.Random) -> str:
+    pool = VARS[:3]
+    pats = [_mk_pattern(rng, pool)]
+    if rng.random() < 0.35:
+        pats.append(_mk_pattern(rng, pool))
+    return (f"PREFIX ex: <{EX}>\n"
+            "DELETE WHERE { " + " ".join(pats) + " }")
+
+
+def _n_delete_where(triples, text):
+    """Naive DELETE WHERE: solve the pattern block, instantiate plain
+    template entries per solution, expand path entries to traversed base
+    triples (n_path_edges) — then subtract."""
+    from phenoscape_owl_tools_spark.sparql import PathNode
+
+    q = sparql.parse(text)
+    frame = ns.n_join_patterns(triples, q.patterns, q.filters)
+    deletions: set = set()
+    for s, p, o in q.delete_template:
+        if isinstance(p, PathNode):
+            pairs = set()
+            for row in frame.rows:
+                sv = row.get(s.value) if s.kind == "var" else s.value
+                ov = row.get(o.value) if o.kind == "var" else o.value
+                if sv is not None and ov is not None:
+                    pairs.add((sv, ov))
+            deletions |= ns.n_path_edges(triples, p, pairs)
+        else:
+            for row in frame.rows:
+                vals, ok = [], True
+                for t in (s, p, o):
+                    v = row.get(t.value) if t.kind == "var" else t.value
+                    if v is None:
+                        ok = False
+                        break
+                    vals.append(v)
+                if ok:
+                    deletions.add(tuple(vals))
+    return set(triples) - deletions
+
+
+@pytest.mark.parametrize("seed", list(range(4000, 4030)))
+def test_differential_random_delete_where(spark, seed):
+    rng = random.Random(seed)
+    triples = _mk_graph(rng)
+    text = _mk_delete_query(rng)
+    tdf = _spark_frame(spark, triples)
+    engine_err = naive_err = None
+    got = expect = None
+    try:
+        got = {(r.subj, r.pred, r.obj)
+               for r in sparql.update(tdf, text).collect()}
+    except ValueError as e:
+        engine_err = e
+    try:
+        expect = _n_delete_where(triples, text)
+    except ValueError as e:
+        naive_err = e
+    if engine_err is not None or naive_err is not None:
+        assert engine_err is not None and naive_err is not None, (
+            f"seed {seed}: one side raised\nquery:\n{text}\n"
+            f"engine: {engine_err!r}\nnaive: {naive_err!r}")
+        return
+    assert got == expect, (
+        f"seed {seed}: graph mismatch\nquery:\n{text}\n"
+        f"engine-only: {sorted(got - expect)}\n"
+        f"naive-only: {sorted(expect - got)}")

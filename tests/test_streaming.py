@@ -393,3 +393,86 @@ def test_checkpoint_loss_with_dict_update_overwrites_not_duplicates(spark, tmp_p
     # would surface as missing held-out triples or extra duplicates
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
     assert got.where(F.col("obj") == held_out).count() > 0
+
+
+# ------------------- streaming corpus funnel (r5: batch-twin equality)
+
+
+def _corpus_fixture_rows():
+    """Deterministic corpus with planted gate-failers, cross-batch exact
+    duplicates, and benchmark-contaminated docs. doc_ids are zero-padded
+    so arrival order == id order (the documented keeper contract)."""
+    rows = []
+    for i in range(24):
+        did = f"d{i:03d}"
+        if i % 8 == 5:
+            text = "spam spam spam spam spam spam spam spam"  # repetitive
+        elif i % 8 == 6:
+            text = f"the quick brown fox document {i} jumps high"
+        elif i % 7 == 3:
+            # exact duplicate of a SMALLER id in a possibly different file
+            text = f"shared content block alpha beta gamma {i % 2}"
+        elif i % 11 == 4:
+            text = "benchmark question about ontologies and axioms here"
+        else:
+            text = f"unique document {i} with ordinary prose content body"
+        rows.append(Row(doc_id=did, lang="en" if i % 3 else "de",
+                        source="s1", text=text))
+    return rows
+
+
+def test_streaming_corpus_funnel_equals_batch(spark, tmp_path):
+    from phenoscape_owl_tools_spark.plans import corpus_build
+    from phenoscape_owl_tools_spark.streaming import corpus as scorpus
+
+    rows = _corpus_fixture_rows()
+    docs = spark.createDataFrame(rows)
+    bench = spark.createDataFrame(
+        [Row(doc_id="b1", text="benchmark question about ontologies and axioms here")]
+    )
+    cfg = corpus_build.CorpusConfig(
+        min_quality=0.05, max_dup_word_frac=0.5,
+        lsh_threshold=None,  # the streamable-prefix batch twin
+    )
+
+    # batch twin: gates -> exact dedup -> decontaminate -> kept ids
+    batch = corpus_build.run(spark, docs, benchmark=bench, config=cfg)
+    batch_kept = {r["doc_id"] for r in batch.corpus.select("doc_id").collect()}
+
+    # stream: three files in doc_id order, one batch per file
+    in_dir = tmp_path / "corpus_in"
+    for lo, hi in ((0, 8), (8, 16), (16, 24)):
+        spark.createDataFrame(rows[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+    out = tmp_path / "corpus_out"
+    scorpus.run_streaming_corpus(
+        spark, str(in_dir), docs.schema, str(out), str(tmp_path / "ck"),
+        benchmark=bench, config=cfg,
+    )
+    stream_kept = {r["doc_id"]
+                   for r in scorpus.streaming_kept_ids(spark, str(out)).collect()}
+    assert stream_kept == batch_kept
+    # sanity: the funnel actually exercised every stage
+    dec = scorpus.read_corpus_decisions(spark, str(out))
+    assert dec.where("NOT gate_pass").count() > 0
+    assert dec.where("gate_pass AND NOT exact_keeper").count() > 0
+    assert dec.where("contaminated").count() > 0
+
+    # a manifest per micro-batch, each carrying rows + checksum
+    from phenoscape_owl_tools_spark import catalog as cat
+    batch_dirs = sorted((out / "decisions").glob("batch=*"))
+    assert len(batch_dirs) >= 3
+    for d in batch_dirs:
+        m = cat.read_manifest(d)
+        assert m and m["row_count"] > 0 and m["checksum"] is not None
+
+    # replay after checkpoint loss: decisions are id-compared, so a full
+    # re-drain with a fresh checkpoint overwrites, never flips, decisions
+    scorpus.run_streaming_corpus(
+        spark, str(in_dir), docs.schema, str(out), str(tmp_path / "ck2"),
+        benchmark=bench, config=cfg,
+    )
+    again = {r["doc_id"]
+             for r in scorpus.streaming_kept_ids(spark, str(out)).collect()}
+    assert again == stream_kept
