@@ -42,10 +42,22 @@ DIMENSIONS = ["region", "nation"]
 
 def replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
     spark = df.sparkSession
+    # The stride must clear the input's OWN key range: chaining runs
+    # (sf0.1 -> sf1 -> sf10) used to reuse the fixed base stride, so the
+    # second layer's shifted keys collided with the first's (r5 bug —
+    # sf10 doc_ids overlapped and near-dup/join results were garbage).
+    stride = STRIDE
+    keys = KEY_COLS.get(table, [])
+    if keys:
+        aggs = [F.max(k) for k in keys]
+        mcol = aggs[0] if len(aggs) == 1 else F.greatest(*aggs)
+        mx = df.select(mcol.alias("m")).collect()[0]["m"]
+        while mx is not None and stride <= mx:
+            stride *= 10
     reps = spark.range(factor).withColumnRenamed("id", "__rep").repartition(factor)
     out = reps.crossJoin(F.broadcast(df))
-    for k in KEY_COLS.get(table, []):
-        out = out.withColumn(k, F.col(k) + F.col("__rep") * STRIDE)
+    for k in keys:
+        out = out.withColumn(k, F.col(k) + F.col("__rep") * stride)
     if table == "documents":
         out = out.withColumn(
             "text",
