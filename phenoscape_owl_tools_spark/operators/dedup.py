@@ -128,6 +128,17 @@ def ngram_jaccard_pairs(
     (they still count toward set sizes, so Jaccard stays exact only when
     every surviving pair shares at least one rare shingle — the standard
     recall/cost trade documented at call sites).
+
+    SCALE BOUNDARY (measured, BENCH.md §20): exact mode's inverted-index
+    join emits one row per (pair, shared shingle) — ``sum_s df(s)^2``
+    rows. That is quadratic in CLONE-FAMILY size, so its cost is set by
+    the corpus's duplication density, not its row count: at sf10 (500k
+    docs where every doc has ~99 near-clones) the co-occurrence relation
+    is ~2x10^9 rows and overflowed 78 GB of local shuffle disk. This
+    operator is the exact VERIFIER for modest duplication density; at
+    clone-dense web scale use X3 ``minhash_lsh_dedup`` (banded candidates
+    + exact verify — the documented 100 TB path, which completes the same
+    sf10 corpus; see BENCH §20), or pass ``max_doc_freq`` to cap df.
     """
     shingles = word_shingles(documents, n).localCheckpoint(eager=True)
     if max_doc_freq is not None:

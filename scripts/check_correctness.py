@@ -40,7 +40,12 @@ def main() -> None:
             keys_filter = set(sys.argv[i + 1].split(","))
         if a == "--json":
             json_out = sys.argv[i + 1]
-    spark = get_spark(app_name="check-correctness")
+    # maxResultSize: the sweep collects full result frames for hashing;
+    # sf10-scale keys (property_chains = 19.9M rows) blow the 1g default
+    spark = get_spark(
+        app_name="check-correctness",
+        extra_conf={"spark.driver.maxResultSize": "16g"},
+    )
     con = duckdb.connect()
     for p in glob.glob(f"{sf}/*.parquet"):
         t = Path(p).stem
