@@ -54,7 +54,17 @@ DECISIONS = "decisions"
 def _prior_keepers(
     spark: SparkSession, out_path: str, current_key: str
 ) -> DataFrame | None:
-    """Exact-dedup keeper rows from every OTHER batch's decision table."""
+    """Exact-dedup keeper rows from every OTHER batch's decision table.
+
+    Scale note: this reads the whole decision directory per micro-batch
+    (column-pruned to (content_hash, doc_id), partition-pruned by
+    ``batch``), so a drain of B batches does O(B) scans of a table that
+    grows with the corpus — acceptable for drain-style availableNow runs,
+    but a long-lived continuous deployment should periodically COMPACT
+    the keeper rows into a bucketed-by-``content_hash`` table (one
+    ``catalog.write_table`` of this frame) and read that instead; the
+    id-comparison rule is unaffected because compaction preserves
+    (hash, keeper_id) rows verbatim."""
     root = Path(out_path) / DECISIONS
     if not any(root.glob("batch=*")):
         return None
